@@ -1,0 +1,28 @@
+"""mlff_tpu — TPU-native framework for preconditioned kernel ML force fields.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+bluecher31/mlff-preconditioner (the companion code of "Reconstructing
+Kernel-Based Machine Learning Force Fields with Superlinear Convergence",
+JCTC 19(14):4619-4630, 2023): sGDML kernel ridge regression solved with
+preconditioned conjugate gradients and a zoo of low-rank preconditioners.
+
+Design notes (vs. the reference, see SURVEY.md):
+  * All kernel math lives in descriptor space and reduces to dense matmuls
+    (MXU-friendly); distance/exponential matrices are precomputed once per
+    solve instead of per CG iteration.
+  * The PSD convention is used throughout: we solve (K + lam*I) alpha = y
+    with K positive semi-definite.  The reference assembles -K and runs
+    cg(-K_op, y) followed by a sign flip (reference
+    sgdml/solvers/iterative_solver.py:995-1009); the mapping is
+    alphas_ref = -alphas_ours at the model boundary.
+  * float64 is enabled package-wide: kernel conditioning (lam as small as
+    1e-10 against ~10 decades of spectrum) requires it for the CG state and
+    factorizations.  Mixed-precision fast paths are explicit opt-ins.
+"""
+
+import jax
+
+# Kernel conditioning requires f64 state (see module docstring).
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

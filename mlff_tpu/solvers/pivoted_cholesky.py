@@ -1,0 +1,145 @@
+"""Matrix-free pivoted incomplete Cholesky, fully on device.
+
+Rebuild of the reference's ``pivoted_cholesky``
+(reference: sgdml/solvers/incomplete_cholesky.py:24-93) and its driver
+(iterative_cholesky.py:115-156).  Same greedy largest-remaining-diagonal
+pivoting, so pivot order — and hence preconditioner quality / CG iteration
+counts — matches the reference up to fp roundoff.
+
+TPU redesign:
+  * Columns are extracted by **direct assembly** (ops.kernel.kernel_column,
+    O(n * P * D) per column) instead of the reference's unit-vector matvec
+    (O(n^2 * P * D / n_train) per column, iterative_cholesky.py:152-156) —
+    an n_train-fold reduction of the dominant cost.
+  * The whole k-step loop runs inside one jitted ``lax.fori_loop`` with a
+    preallocated (n, k) factor; the Schur correction is a single (n, k) GEMV
+    per pivot (rank-m row dot), not a Python-level einsum.
+  * Pivot positivity cannot raise on device; the smallest pivot value is
+    returned for host-side validation instead
+    (reference asserts at incomplete_cholesky.py:62).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kernel as knl
+from ..ops.descriptor import DescriptorSpec
+
+
+class PivotedCholeskyResult(NamedTuple):
+    L: jnp.ndarray             # (n, k) low-rank factor
+    pivots: jnp.ndarray        # (k,) chosen column indices (pivot order)
+    pivot_values: jnp.ndarray  # (k,) diagonal value at each pivot
+    remaining_diag: jnp.ndarray  # (n,) residual diagonal after k steps
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _pivoted_cholesky_device(
+    spec_dim_i: int,
+    cache: knl.KernelCache,
+    diag0: jnp.ndarray,
+    max_rank: int,
+) -> PivotedCholeskyResult:
+    n = diag0.shape[0]
+    dtype = diag0.dtype
+
+    # numerical-rank floor: pivots this far below the initial diagonal scale
+    # are roundoff; emit a zero column instead of dividing by ~0 (the host
+    # wrapper still reports the raw pivot values for PSD validation).
+    eps_floor = jnp.max(diag0) * 1e-30
+
+    def body(m, state):
+        L, diag, chosen, pivots, pvals = state
+        # greedy pivot: largest remaining diagonal among unchosen columns
+        masked = jnp.where(chosen, -jnp.inf, diag)
+        p = jnp.argmax(masked)
+        pval = diag[p]
+        ok = pval > eps_floor
+        l_mm = jnp.sqrt(jnp.maximum(pval, eps_floor))
+
+        col = knl.kernel_column(spec_dim_i, cache, p)  # includes +lam e_p
+
+        # Schur correction from the m previous factors: one (n, k) x (k,) GEMV
+        # (columns >= m are still zero, so the full product is exact).
+        schur = L @ L[p, :]
+        newcol = (col - schur) / l_mm
+        # rows of already-chosen pivots are exactly zero in the true factor
+        newcol = jnp.where(chosen & (jnp.arange(n) != p), 0.0, newcol)
+        newcol = newcol.at[p].set(l_mm)
+        newcol = jnp.where(ok, newcol, jnp.zeros_like(newcol))
+
+        L = L.at[:, m].set(newcol)
+        diag = diag - newcol**2
+        chosen = chosen.at[p].set(True)
+        pivots = pivots.at[m].set(p)
+        pvals = pvals.at[m].set(pval)
+        return (L, diag, chosen, pivots, pvals)
+
+    init = (
+        jnp.zeros((n, max_rank), dtype),
+        diag0,
+        jnp.zeros(n, dtype=bool),
+        jnp.zeros(max_rank, dtype=jnp.int32),
+        jnp.zeros(max_rank, dtype),
+    )
+    L, diag, chosen, pivots, pvals = jax.lax.fori_loop(0, max_rank, body, init)
+    return PivotedCholeskyResult(L, pivots, pvals, diag)
+
+
+def pivoted_cholesky(
+    spec: DescriptorSpec,
+    cache: knl.KernelCache,
+    max_rank: int,
+    diag: jnp.ndarray | None = None,
+) -> tuple[PivotedCholeskyResult, dict]:
+    """Rank-``max_rank`` pivoted incomplete Cholesky of (K + lam I).
+
+    The seed diagonal intentionally omits the ridge term, mirroring the
+    reference's mixed convention (diag from
+    iterative_cholesky._assemble_kernel_mat_diag has no +lam, the extracted
+    columns do) so pivot order parity is exact.
+
+    Returns the factor plus an info dict matching the reference's
+    ``info_cholesky`` schema (incomplete_cholesky.py:86-88).
+    """
+    t0 = time.perf_counter()
+    if diag is None:
+        diag = knl.kernel_diag(spec.dim_i, cache)
+    res = _pivoted_cholesky_device(spec.dim_i, cache, diag, max_rank)
+    res.L.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    min_pivot = float(res.pivot_values.min()) if max_rank > 0 else float("inf")
+    if not min_pivot > 0:  # also catches NaN
+        raise ValueError(
+            f"matrix is not PSD: pivot value {min_pivot:.3e} encountered"
+        )
+    err = float(jnp.linalg.norm(res.remaining_diag, ord=1))
+    info = {
+        "time_cholesky": np.full(max_rank, elapsed / max(max_rank, 1)),
+        "L.shape": tuple(res.L.shape),
+        "index_columns": _full_index_order(res, cache.n),
+        "pivots": np.asarray(res.pivots),
+        "remaining_diag_error": err,
+        "total_time_cholesky_s": elapsed,
+    }
+    return res, info
+
+
+def _full_index_order(res: PivotedCholeskyResult, n: int) -> np.ndarray:
+    """Pivot order extended to a full permutation of [0, n) — the reference's
+    ``index_columns`` (chosen pivots first, remaining columns after, in the
+    swap order its in-place algorithm leaves them)."""
+    pivots = np.asarray(res.pivots)
+    index_columns = np.arange(n)
+    for m, p in enumerate(pivots):
+        j = int(np.where(index_columns == p)[0][0])
+        index_columns[m], index_columns[j] = index_columns[j], index_columns[m]
+    return index_columns

@@ -1,0 +1,251 @@
+"""Solver stack: PCG scipy-parity, Woodbury preconditioner correctness,
+pivoted Cholesky vs a NumPy oracle, Nyström/leverage/eig preconditioners."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse.linalg
+
+from mlff_tpu.ops import descriptor as dsc
+from mlff_tpu.ops import kernel as knl
+from mlff_tpu.solvers import preconditioners as pc
+from mlff_tpu.solvers.cg import pcg
+from mlff_tpu.solvers.pivoted_cholesky import pivoted_cholesky
+
+SIG, LAM = 10.0, 1e-10
+
+
+def _kernel_setup(n_atoms=4, n_train=10, seed=0):
+    rng = np.random.default_rng(seed)
+    R = rng.normal(size=(n_train, n_atoms, 3)) * 1.5
+    spec = dsc.make_spec(n_atoms)
+    S = dsc.incidence_matrix(spec)
+    X, Jc = dsc.descriptors_from_R(spec, jnp.asarray(R))
+    P_idx = jnp.asarray(dsc.desc_perms(np.arange(n_atoms)[None, :]))
+    cache = knl.build_cache(X, Jc, S, P_idx, SIG, LAM)
+    return spec, cache
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return _kernel_setup()
+
+
+def _dense_system(spec, cache):
+    K = np.asarray(knl.assemble_full(spec, cache))
+    return K + LAM * np.eye(K.shape[0])
+
+
+def test_pcg_matches_scipy_iterates():
+    """Same operator, same rtol => same iteration count (+-1) and solution
+    as scipy.sparse.linalg.cg (on a moderately conditioned SPD system; the
+    raw kernel is too ill-conditioned for unpreconditioned CG)."""
+    rng = np.random.default_rng(1)
+    n = 120
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = (Q * np.geomspace(1.0, 1e4, n)) @ Q.T
+    b = rng.normal(size=n)
+    A_dev = jnp.asarray(A)
+
+    matvec = lambda v: A_dev @ v
+    res = pcg(matvec, jnp.asarray(b), tol=1e-6, maxiter=10 * n, chunk=16)
+
+    iters_scipy = [0]
+    x_sp, info = scipy.sparse.linalg.cg(
+        A, b, rtol=1e-6, atol=0.0, maxiter=10 * n,
+        callback=lambda xk: iters_scipy.__setitem__(0, iters_scipy[0] + 1),
+    )
+    assert info == 0
+    assert res.converged
+    # fp summation orders differ (device vs LAPACK); identical algorithms can
+    # drift a few iterations apart after hundreds of steps
+    assert abs(res.num_iters - iters_scipy[0]) <= max(2, 0.03 * iters_scipy[0])
+    np.testing.assert_allclose(res.x, x_sp, rtol=1e-3, atol=1e-8)
+    assert np.linalg.norm(A @ res.x - b) <= 1.1e-6 * np.linalg.norm(b)
+
+
+def test_pcg_matches_scipy_preconditioned_on_kernel(setup):
+    """On the real (ill-conditioned) kernel system with the same Nyström
+    preconditioner, our PCG and scipy's take the same number of iterations."""
+    spec, cache = setup
+    A = _dense_system(spec, cache)
+    n = A.shape[0]
+    b = np.random.default_rng(4).normal(size=n)
+
+    P = pc.nystrom_preconditioner(spec, cache, np.sort(
+        np.random.default_rng(0).choice(n, n // 3, replace=False)), LAM)
+    T = np.asarray(P.T)
+    M_dense = scipy.sparse.linalg.LinearOperator(
+        (n, n), matvec=lambda v: (v - T.T @ (T @ v)) / LAM
+    )
+
+    matvec = lambda v: knl.matvec_psd(cache, v)
+    res = pcg(matvec, jnp.asarray(b), precon=P, tol=1e-4, maxiter=10 * n)
+
+    iters_scipy = [0]
+    x_sp, info = scipy.sparse.linalg.cg(
+        A, b, M=M_dense, rtol=1e-4, atol=0.0, maxiter=10 * n,
+        callback=lambda xk: iters_scipy.__setitem__(0, iters_scipy[0] + 1),
+    )
+    assert info == 0
+    assert res.converged
+    # the raw kernel's condition number is ~1e12+: iteration counts in this
+    # regime are sensitive to fp summation order, so allow a wider band
+    assert abs(res.num_iters - iters_scipy[0]) <= max(5, 0.2 * iters_scipy[0])
+
+
+def test_pcg_preconditioned_converges_faster(setup):
+    spec, cache = setup
+    A = _dense_system(spec, cache)
+    n = A.shape[0]
+    b = np.random.default_rng(2).normal(size=n)
+    matvec = lambda v: knl.matvec_psd(cache, v)
+
+    plain = pcg(matvec, jnp.asarray(b), tol=1e-4, maxiter=300)
+
+    fac, _ = pivoted_cholesky(spec, cache, max_rank=n // 2)
+    P = pc.woodbury_from_factor(fac.L, LAM)
+    precond = pcg(matvec, jnp.asarray(b), precon=P, tol=1e-4, maxiter=300)
+
+    assert precond.converged
+    assert precond.num_iters < max(plain.num_iters, 300 if not plain.converged else 0)
+    np.testing.assert_allclose(A @ precond.x, b, rtol=1e-3, atol=1e-8)
+
+
+def test_woodbury_apply_matches_dense_inverse(setup):
+    spec, cache = setup
+    rng = np.random.default_rng(3)
+    n = cache.n
+    L = rng.normal(size=(n, 7))
+    lam = 1e-3
+    P = pc.woodbury_from_factor(jnp.asarray(L), lam)
+    v = rng.normal(size=n)
+    dense = L @ L.T + lam * np.eye(n)
+    np.testing.assert_allclose(
+        np.asarray(P(jnp.asarray(v))), np.linalg.solve(dense, v), rtol=1e-8
+    )
+
+
+def test_pivoted_cholesky_matches_numpy_oracle(setup):
+    spec, cache = setup
+    K = _dense_system(spec, cache)  # with ridge: columns include +lam
+    k = 20
+    res, info = pivoted_cholesky(spec, cache, max_rank=k)
+    # oracle mirrors the reference's mixed convention: seed diag without
+    # ridge, extracted columns with ridge
+    diag0 = np.diag(K) - LAM
+    L_np, piv_np = _np_pivoted_cholesky_mixed(K, diag0, k)
+    np.testing.assert_array_equal(np.asarray(res.pivots), piv_np)
+    np.testing.assert_allclose(np.asarray(res.L), L_np, rtol=1e-8, atol=1e-10)
+
+
+def _np_pivoted_cholesky_mixed(K_with_ridge, diag0, max_rank):
+    n = K_with_ridge.shape[0]
+    diag = diag0.copy()
+    L = np.zeros((n, max_rank))
+    chosen = np.zeros(n, dtype=bool)
+    pivots = []
+    for m in range(max_rank):
+        masked = np.where(chosen, -np.inf, diag)
+        p = int(np.argmax(masked))
+        pivots.append(p)
+        lmm = np.sqrt(diag[p])
+        col = K_with_ridge[:, p]
+        schur = L[:, :m] @ L[p, :m]
+        newcol = (col - schur) / lmm
+        newcol[p] = lmm
+        newcol[chosen] = 0.0
+        L[:, m] = newcol
+        diag -= newcol**2
+        chosen[p] = True
+    return L, np.array(pivots)
+
+
+def test_pivoted_cholesky_reconstruction_error_bound(setup):
+    """||K - L L^T|| on the diagonal is exactly the remaining-diag trace, and
+    the rank-k approximation error shrinks with k.  (Full-rank factorization
+    of this kernel is numerically meaningless: its spectrum spans ~15 decades,
+    so late pivots are pure roundoff — the reference would assert-fail there
+    too, incomplete_cholesky.py:62.)"""
+    spec, cache = setup
+    K = _dense_system(spec, cache)
+    n = K.shape[0]
+    errs = []
+    for k in (8, 20, 40):
+        res, info = pivoted_cholesky(spec, cache, max_rank=k)
+        approx = np.asarray(res.L) @ np.asarray(res.L).T
+        err = np.abs(np.diag(K - approx) - LAM).sum()
+        np.testing.assert_allclose(err, info["remaining_diag_error"],
+                                   rtol=1e-6, atol=1e-12)
+        errs.append(np.linalg.norm(K - approx))
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_nystrom_preconditioner_matches_dense_woodbury():
+    """Nyström operator equals the dense inverse of K_nm K_mm^-1 K_mn + lam I
+    (computed independently in NumPy).  A healthy lam keeps the comparison
+    well-posed; the formula under test is lam-independent."""
+    lam_big = 1e-4
+    rng = np.random.default_rng(11)
+    n_atoms, n_train = 4, 10
+    import jax.numpy as jnp_
+    from mlff_tpu.ops import descriptor as dsc_
+    R = rng.normal(size=(n_train, n_atoms, 3)) * 1.5
+    spec = dsc_.make_spec(n_atoms)
+    S = dsc_.incidence_matrix(spec)
+    X, Jc = dsc_.descriptors_from_R(spec, jnp_.asarray(R))
+    P_idx = jnp_.asarray(dsc_.desc_perms(np.arange(n_atoms)[None, :]))
+    cache = knl.build_cache(X, Jc, S, P_idx, SIG, lam_big)
+
+    n = cache.n
+    m = n // 3
+    idxs = np.sort(rng.choice(n, m, replace=False))
+    P = pc.nystrom_preconditioner(spec, cache, idxs, lam_big)
+
+    K = np.asarray(knl.assemble_full(spec, cache))
+    K_nm = K[:, idxs]
+    K_mm = K[np.ix_(idxs, idxs)]
+    P_dense = K_nm @ np.linalg.solve(K_mm, K_nm.T) + lam_big * np.eye(n)
+    v = rng.normal(size=n)
+    # the NumPy oracle itself solves through the ~1e10-conditioned K_mm, so
+    # only ~6 digits of the comparison are meaningful
+    np.testing.assert_allclose(
+        np.asarray(P(jnp.asarray(v))), np.linalg.solve(P_dense, v),
+        rtol=1e-4, atol=1e-6 * np.abs(v).max() / lam_big,
+    )
+
+
+def test_leverage_scores_shapes_and_selection(setup):
+    spec, cache = setup
+    rng = np.random.default_rng(7)
+    lev, order = pc.leverage_scores(spec, cache, LAM, n_inducing_pts=8, rng=rng)
+    n = cache.n
+    assert lev.shape == (n,)
+    assert np.all(lev >= 0)
+    for strat in ("lev_scores", "inverse_lev", "lev_random"):
+        sel = pc.select_by_leverage(strat, lev, order, 10, rng)
+        assert sel.shape == (10,)
+        assert np.array_equal(sel, np.sort(sel))
+        assert len(set(sel.tolist())) == 10
+
+
+def test_eigvec_preconditioner_full_rank_exact(setup):
+    spec, cache = setup
+    A = _dense_system(spec, cache)
+    n = A.shape[0]
+    svd_cache = {}
+    P = pc.eigvec_preconditioner(spec, cache, n, LAM, svd_cache=svd_cache)
+    v = np.random.default_rng(8).normal(size=n)
+    out = np.asarray(P(jnp.asarray(A @ v)))
+    np.testing.assert_allclose(out, v, rtol=1e-5, atol=1e-7)
+    # cache reuse
+    P2 = pc.eigvec_preconditioner(spec, cache, n // 2, LAM, svd_cache=svd_cache)
+    assert ("svd", "eigvec_precon") in svd_cache
+
+
+def test_cho_factor_stable_on_indefinite():
+    rng = np.random.default_rng(9)
+    M = rng.normal(size=(12, 12))
+    M = M + M.T  # indefinite
+    L = pc.cho_factor_stable(M.copy())
+    assert np.all(np.isfinite(L))
