@@ -42,6 +42,9 @@ def ethanol_like_perms():
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    # the TPU tunnel recompiles are expensive (minutes); persist them
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mlff_tpu.data.synthetic import make_dataset
@@ -80,15 +83,18 @@ def main():
 
     matvec = lambda v: knl.matvec_psd(cache, v)
 
-    # warmup (compile)
+    # warmup (compile) — same chunk size as the timed run so the compiled
+    # executable is reused
+    CHUNK = 50
     t0 = time.perf_counter()
-    warm = pcg(matvec, b, precon=P, tol=0.0, maxiter=10, chunk=10)
-    log(f"warmup 10 iters (incl. compile) in {time.perf_counter() - t0:.2f}s")
+    warm = pcg(matvec, b, precon=P, tol=0.0, maxiter=CHUNK, chunk=CHUNK)
+    log(f"warmup {warm.num_iters} iters (incl. compile) in "
+        f"{time.perf_counter() - t0:.2f}s")
 
     # timed run
     n_iter = 150
     t0 = time.perf_counter()
-    res = pcg(matvec, b, precon=P, tol=1e-4, maxiter=n_iter, chunk=50)
+    res = pcg(matvec, b, precon=P, tol=1e-4, maxiter=n_iter, chunk=CHUNK)
     elapsed = time.perf_counter() - t0
     iters = max(res.num_iters, 1)
     s_per_iter = elapsed / iters

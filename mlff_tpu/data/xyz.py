@@ -1,0 +1,186 @@
+"""xyz / extended-xyz geometry IO and dataset converters.
+
+Rebuild of the reference xyz tooling (reference:
+sgdml/utils/io.py:240-328 read/write/generate_xyz_str and the converter
+scripts src/sGDML/scripts/sgdml_dataset_from_extxyz.py /
+sgdml_dataset_to_extxyz.py semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.io import dataset_md5
+
+# element symbol <-> atomic number (the subset relevant to the benchmark sets
+# plus the common organic elements)
+_Z_STR = {
+    1: "H", 2: "He", 3: "Li", 4: "Be", 5: "B", 6: "C", 7: "N", 8: "O",
+    9: "F", 10: "Ne", 11: "Na", 12: "Mg", 13: "Al", 14: "Si", 15: "P",
+    16: "S", 17: "Cl", 18: "Ar", 19: "K", 20: "Ca", 26: "Fe", 29: "Cu",
+    30: "Zn", 35: "Br", 53: "I",
+}
+_STR_Z = {v: k for k, v in _Z_STR.items()}
+
+
+def z_to_str(z: int) -> str:
+    return _Z_STR[int(z)]
+
+
+def str_to_z(s: str) -> int:
+    return _STR_Z[s.capitalize()]
+
+
+def read_xyz(path: str | Path):
+    """Read a (multi-frame) xyz file -> (R (M, A, 3), z (A,), comments)."""
+    frames, comments = [], []
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    z = None
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n_atoms = int(lines[i].strip())
+        comments.append(lines[i + 1] if i + 1 < len(lines) else "")
+        block = lines[i + 2 : i + 2 + n_atoms]
+        geom = []
+        z_frame = []
+        for row in block:
+            cols = row.split()
+            z_frame.append(str_to_z(cols[0]))
+            geom.append([float(c) for c in cols[1:4]])
+        if z is None:
+            z = np.asarray(z_frame)
+        frames.append(geom)
+        i += 2 + n_atoms
+    return np.asarray(frames), z, comments
+
+
+def generate_xyz_str(r, z, e=None, f=None, lattice=None) -> str:
+    """One extended-xyz frame string (reference io.py:280-303)."""
+    comment = ""
+    if lattice is not None:
+        comment += 'Lattice="{}" '.format(
+            " ".join(f"{v:.12g}" for v in np.asarray(lattice).T.ravel())
+        )
+    if e is not None:
+        comment += f"Energy={float(e):.12g} "
+    comment += "Properties=species:S:1:pos:R:3"
+    if f is not None:
+        comment += ":forces:R:3"
+    out = [str(len(r)), comment]
+    for i, atom in enumerate(np.asarray(r)):
+        row = f"{z_to_str(z[i])}\t" + "\t".join(f"{x:.12g}" for x in atom)
+        if f is not None:
+            row += "\t" + "\t".join(f"{x:.12g}" for x in np.asarray(f)[i])
+        out.append(row)
+    return "\n".join(out)
+
+
+def write_xyz(path: str | Path, R, z, E=None, F=None, lattice=None) -> None:
+    """Write a multi-frame extended-xyz file."""
+    R = np.asarray(R).reshape(-1, len(z), 3)
+    with open(path, "w") as fh:
+        for m in range(R.shape[0]):
+            fh.write(
+                generate_xyz_str(
+                    R[m], z,
+                    e=None if E is None else E[m],
+                    f=None if F is None else np.asarray(F).reshape(R.shape)[m],
+                    lattice=lattice,
+                )
+                + "\n"
+            )
+
+
+_ENERGY_RE = re.compile(r"energy\s*=\s*([-+0-9.eEdD]+)", re.IGNORECASE)
+_LATTICE_RE = re.compile(r'Lattice\s*=\s*"([^"]+)"', re.IGNORECASE)
+
+
+def dataset_from_extxyz(
+    path: str | Path, name: str | None = None, theory: str = "unknown",
+    r_unit: str = "Ang", e_unit: str = "kcal/mol",
+) -> dict:
+    """Convert an extended-xyz trajectory (with per-frame Energy= comments and
+    force columns) into the npz dataset schema
+    (reference scripts/sgdml_dataset_from_extxyz.py behavior)."""
+    frames, comments = [], []
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    R, F, E = [], [], []
+    z = None
+    lattice = None
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n_atoms = int(lines[i].strip())
+        comment = lines[i + 1]
+        m = _ENERGY_RE.search(comment)
+        if m:
+            E.append(float(m.group(1).replace("D", "e").replace("d", "e")))
+        mlat = _LATTICE_RE.search(comment)
+        if mlat and lattice is None:
+            vals = np.array([float(v) for v in mlat.group(1).split()])
+            lattice = vals.reshape(3, 3).T
+        geom, forces, z_frame = [], [], []
+        for row in lines[i + 2 : i + 2 + n_atoms]:
+            cols = row.split()
+            z_frame.append(str_to_z(cols[0]))
+            geom.append([float(c) for c in cols[1:4]])
+            if len(cols) >= 7:
+                forces.append([float(c) for c in cols[4:7]])
+        if z is None:
+            z = np.asarray(z_frame)
+        R.append(geom)
+        if forces:
+            F.append(forces)
+        i += 2 + n_atoms
+
+    if not F:
+        raise ValueError("extxyz file contains no force columns")
+    dataset = {
+        "type": "d",
+        "name": np.asarray(name or Path(path).stem),
+        "theory": np.asarray(theory),
+        "z": z.astype(np.int64),
+        "R": np.asarray(R, dtype=np.float64),
+        "F": np.asarray(F, dtype=np.float64),
+        "r_unit": np.asarray(r_unit),
+        "e_unit": np.asarray(e_unit),
+    }
+    if E:
+        dataset["E"] = np.asarray(E, dtype=np.float64)
+    if lattice is not None:
+        dataset["lattice"] = lattice
+    dataset["md5"] = np.asarray(dataset_md5(dataset))
+    return dataset
+
+
+def dataset_to_extxyz(dataset: dict, path: str | Path) -> None:
+    """Inverse converter (reference scripts/sgdml_dataset_to_extxyz.py)."""
+    write_xyz(
+        path, dataset["R"], np.asarray(dataset["z"]),
+        E=dataset.get("E"), F=dataset.get("F"),
+        lattice=dataset.get("lattice"),
+    )
+
+
+def download(command: str, file_name: str):
+    """Benchmark dataset downloader (reference sgdml/get.py:45-69).
+
+    This environment has no network egress; the function exists for API
+    completeness and raises with the synthetic-data alternative."""
+    base_url = "http://www.quantum-machine.org/gdml/" + (
+        "data/npz/" if command == "dataset" else "models/"
+    )
+    raise RuntimeError(
+        f"no network egress available to fetch {base_url}{file_name}; use "
+        "mlff_tpu.data.synthetic.make_dataset for a drop-in synthetic dataset"
+    )

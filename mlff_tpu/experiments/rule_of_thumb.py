@@ -134,6 +134,12 @@ def optimal_precon_k(
         out[f"rule_of_thumb_k_{tag}"] = float(ki[iopt])
         out[f"rule_of_thumb_factor_{tag}"] = float(t_solve[iopt] / t_solve.min())
 
+    # smallest measured k baseline (plot_data.py:792-794)
+    out["smallest_k"] = float(k.min())
+    out["smallest_factor"] = float(
+        np.asarray(time_solve)[np.argmin(k)] / np.min(time_solve)
+    )
+
     # naive 1%-of-n baseline
     inaive = int(np.abs(ki / n_kernel - 0.01).argmin())
     out["naive_k"] = float(ki[inaive])

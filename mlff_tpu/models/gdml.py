@@ -119,10 +119,13 @@ class Trainer:
             cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]),
                                     float(task["lam"]))
             t0 = time.perf_counter()
+            ecstr = bool(task.get("use_E_cstr"))
             if self.return_K:
-                alphas_psd, K_dense = solve_analytic(spec, cache, y, return_K=True)
+                alphas_psd, K_dense = solve_analytic(
+                    spec, cache, y, return_K=True, use_E_cstr=ecstr
+                )
             else:
-                alphas_psd = solve_analytic(spec, cache, y)
+                alphas_psd = solve_analytic(spec, cache, y, use_E_cstr=ecstr)
             info_solver["total_time_solve"] = time.perf_counter() - t0
 
         elif solver == "cg":

@@ -53,6 +53,16 @@ class Predictor:
         w = jnp.asarray(np.asarray(model["R_d_desc_alpha"]))     # (N, D)
         self.wt = knl.perm_expand_w(w, self.P_idx)               # (M, D)
 
+        # energy-constraint coefficients, tiled per (point, perm)
+        # (reference predict.py set_alphas: alphas_E_lin, :437-447)
+        self.vE_lin = None
+        if "alphas_E" in model and model["alphas_E"] is not None:
+            aE = np.asarray(model["alphas_E"]).ravel()
+            if aE.size == self.n_train:
+                self.vE_lin = jnp.asarray(
+                    np.repeat(aE, perms.shape[0])
+                )  # (M,)
+
         lat_and_inv = None
         if "lattice" in model:
             lat = np.asarray(model["lattice"])
@@ -112,9 +122,19 @@ class Predictor:
         # contracted against the Jacobian, so no extra xs**3 factor here
         # (that belongs to torchtools' raw-diff formulation, torchtools.py:259)
         F_desc = F1 - F2
+        E = jnp.sum(A_exp1 * dot, axis=1) / q
+
+        if self.vE_lin is not None:
+            # energy-coefficient contributions (reference predict.py:210-218)
+            H = A_exp1 * self.vE_lin[None, :]
+            F_desc = F_desc + (
+                Xq_query * jnp.sum(H, axis=1, keepdims=True) - H @ self.Xqt
+            ) / q
+            K_ee = (1.0 + dist * (1.0 + dist / 3.0)) * jnp.exp(-dist)
+            E = E + K_ee @ self.vE_lin
 
         F = dsc.vec_dot_d_desc(Jc_query, self.S, F_desc) * self.std
-        E = jnp.sum(A_exp1 * dot, axis=1) / q * self.std + self.c
+        E = E * self.std + self.c
         return E, F
 
     def predict(self, R: np.ndarray):

@@ -91,7 +91,7 @@ def pairwise_dist_gram(Xq_a: jnp.ndarray, Xq_b: jnp.ndarray):
     return jnp.sqrt(d2)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("compute_dtype",))
 def build_cache(
     X: jnp.ndarray,
     Jc: jnp.ndarray,
@@ -99,13 +99,28 @@ def build_cache(
     P_idx: jnp.ndarray,
     sig: float,
     lam: float,
+    compute_dtype=None,
 ) -> KernelCache:
+    """Build the per-solve operator cache.
+
+    ``compute_dtype`` (None = keep f64) downcasts the *pairwise* caches
+    (Xq/Xqt/A_exp/A_exp1) — the operands of the per-iteration GEMMs — for a
+    mixed-precision matvec: distances/exponentials are always computed in
+    f64 first, the CG state and the Jacobian contractions stay f64, only the
+    large matmuls run at reduced precision.  This is the explicit
+    speed-vs-parity experiment of SURVEY.md §7.1 (f64 on TPU is emulated).
+    """
     q = SQRT5 / sig
     Xq = q * X
     Xqt = permuted_descriptors(Xq, P_idx)
     dist = pairwise_dist_gram(Xq, Xqt)
     A_exp = (5.0 / (3.0 * sig**2)) * jnp.exp(-dist)
     A_exp1 = A_exp * (1.0 + dist)
+    if compute_dtype is not None:
+        Xq = Xq.astype(compute_dtype)
+        Xqt = Xqt.astype(compute_dtype)
+        A_exp = A_exp.astype(compute_dtype)
+        A_exp1 = A_exp1.astype(compute_dtype)
     return KernelCache(
         X=X, Jc=Jc, S=S, P_idx=P_idx.astype(jnp.int32), Xq=Xq, Xqt=Xqt,
         A_exp=A_exp, A_exp1=A_exp1,
@@ -151,10 +166,13 @@ def matvec_ref(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
     N = cache.X.shape[0]
     A = cache.S.shape[1]
     v3 = v.reshape(N, A, 3)
-    w = d_desc_dot_vec(cache.Jc, cache.S, v3)       # (N, D)
+    w = d_desc_dot_vec(cache.Jc, cache.S, v3)       # (N, D), f64
+    # mixed precision: the big per-iteration GEMMs run at the cache dtype,
+    # the Jacobian contractions and CG state stay f64
+    w = w.astype(cache.Xqt.dtype)
     wt = perm_expand_w(w, cache.P_idx)              # (M, D)
     F_desc, _ = _desc_forces(cache, cache.Xq, cache.A_exp, cache.A_exp1, wt)
-    out = vec_dot_d_desc(cache.Jc, cache.S, F_desc)  # (N, A, 3)
+    out = vec_dot_d_desc(cache.Jc, cache.S, F_desc.astype(cache.Jc.dtype))
     return out.reshape(-1)
 
 
@@ -171,6 +189,147 @@ def matmat_psd(cache: KernelCache, V: jnp.ndarray) -> jnp.ndarray:
     """(K + lam*I) @ V for V (n, B) — batched over columns via vmap; all
     pairwise caches are shared so B RHS cost barely more than one."""
     return jax.vmap(lambda col: matvec_psd(cache, col), in_axes=1, out_axes=1)(V)
+
+
+# ---------------------------------------------------------------------------
+# Energy-constraint extension (use_E_cstr)
+# ---------------------------------------------------------------------------
+#
+# With energy constraints the system grows by n_train rows/columns coupling
+# force coefficients to per-point energies (reference train.py:212-234 for
+# assembly, predict.py:210-218 for the matvec).  All extra kernel values are
+# elementwise functions of quantities already cached:
+#   cross block  K_fe ~ A_exp1 * delta          (gradient cross-kernel)
+#   energy block K_ee ~ (1 + d(1 + d/3)) e^-d   (plain Matern-5/2)
+
+
+def _ecstr_mats(cache: KernelCache):
+    """(K_ee (N, M), dist) recovered elementwise from the cached matrices."""
+    dist = cache.A_exp1 / cache.A_exp - 1.0
+    e = cache.A_exp * (3.0 * cache.sig**2 / 5.0)
+    K_ee = (1.0 + dist * (1.0 + dist / 3.0)) * e
+    return K_ee, dist
+
+
+@jax.jit
+def matvec_ref_ecstr(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
+    """Reference-convention matvec of the energy-constrained kernel.
+
+    v = [v_F (n,), v_E (N,)] -> [f_out (n,), -e_out (N,)], exactly the
+    reference's `_K_vec` composition (iterative_solver.py:416-443: predict
+    with alphas (v_F, v_E), stack forces with negated energies)."""
+    N = cache.X.shape[0]
+    A = cache.S.shape[1]
+    P = cache.P_idx.shape[0]
+    v_F, v_E = v[: N * A * 3], v[N * A * 3 :]
+
+    w = d_desc_dot_vec(cache.Jc, cache.S, v_F.reshape(N, A, 3))
+    w = w.astype(cache.Xqt.dtype)
+    wt = perm_expand_w(w, cache.P_idx)              # (M, D)
+    vE_lin = jnp.repeat(v_E, P).astype(cache.Xqt.dtype)  # (M,) per (point, perm)
+
+    ct = jnp.sum(cache.Xqt * wt, axis=1)
+    dot = cache.Xq @ wt.T - ct[None, :]             # (B=N, M)
+    G = cache.A_exp * dot
+    F1 = cache.Xq * jnp.sum(G, axis=1, keepdims=True) - G @ cache.Xqt
+    F2 = cache.A_exp1 @ wt
+    F_desc = F1 - F2
+
+    # energy-coefficient contribution to forces: sum_m vE_m A_exp1[b,m] delta
+    # (delta unscaled by q; reference predict.py:210-213)
+    q = SQRT5 / cache.sig
+    H = cache.A_exp1 * vE_lin[None, :]              # (B, M)
+    F_desc = F_desc + (
+        cache.Xq * jnp.sum(H, axis=1, keepdims=True) - H @ cache.Xqt
+    ) / q
+
+    out_F = vec_dot_d_desc(cache.Jc, cache.S, F_desc.astype(cache.Jc.dtype))
+
+    # energy rows: e_pred = A_exp1.dot/q + K_ee vE  (predict.py:207, 214-218)
+    K_ee, _ = _ecstr_mats(cache)
+    e_out = jnp.sum(cache.A_exp1 * dot, axis=1) / q + K_ee @ vE_lin
+    return jnp.concatenate([out_F.reshape(-1), -e_out])
+
+
+@jax.jit
+def matvec_psd_ecstr(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
+    """(K + lam I) v for the energy-constrained PSD system."""
+    return cache.lam * v - matvec_ref_ecstr(cache, v)
+
+
+def assemble_ecstr_blocks(spec_dim_i: int, cache: KernelCache):
+    """Dense E-constraint blocks in the PSD convention:
+    (K_fe (n, N), K_ee_sym (N, N)) — the extra columns/rows of the extended
+    kernel (reference worker train.py:212-234, negated)."""
+    N = cache.X.shape[0]
+    P = cache.P_idx.shape[0]
+    q = SQRT5 / cache.sig
+
+    K_ee, _ = _ecstr_mats(cache)                    # (N, M)
+    # sum over the perm copies of each column point -> (N, N); reference
+    # writes K[E_i, E_j] = -(...) summed over perms
+    K_ee_sym = K_ee.reshape(N, N, P).sum(axis=2)
+
+    # cross block: for column point j (energy), rows (i, t):
+    #   K_ref[F(i,t), E(j)] = sum_p A_exp1[i,(j,p)] (J_i^T delta_i,(j,p))[t]
+    # computed like F1 above but per energy column.
+    # delta unscaled: (Xq_i - Xqt_m)/q
+    M = cache.Xqt.shape[0]
+    # U[i, m, :] = A_exp1[i, m] * (Xq_i - Xqt_m) / q  contracted with J_i
+    # -> do it column-block-wise to avoid (N, M, D) blowup
+    cols = []
+    A1 = cache.A_exp1
+    for j0 in range(0, N, 64):
+        j1 = min(j0 + 64, N)
+        mm = slice(j0 * P, j1 * P)
+        A1b = A1[:, mm]                              # (N, Mb)
+        # F-like contraction per column m: g[i, m, d] = A1b*(Xq_i - Xqt_m)/q
+        # contract with J_i via vec_dot_d_desc after summing perms per point
+        g1 = cache.Xq[:, None, :] * A1b[:, :, None]   # (N, Mb, D)
+        g2 = A1b[:, :, None] * cache.Xqt[mm][None, :, :]
+        g = (g1 - g2) / q                             # (N, Mb, D)
+        g = g.reshape(N, j1 - j0, P, -1).sum(axis=2)  # (N, Cb, D)
+        blk = vec_dot_d_desc(
+            cache.Jc[:, None], cache.S, g.astype(cache.Jc.dtype)
+        )  # (N, Cb, A, 3)
+        cols.append(blk.reshape(N, j1 - j0, -1))
+    K_fe_ref = jnp.concatenate(cols, axis=1)          # (N, Ncols, 3A)
+    K_fe_ref = K_fe_ref.transpose(0, 2, 1).reshape(N * spec_dim_i, N)
+    # Row-Jacobian form equals the reference's column-Jacobian form under
+    # group closure (the worker's -sum over permuted J~ at train.py:228,
+    # relabeled); PSD convention then negates both blocks.
+    return -K_fe_ref, K_ee_sym
+
+
+def assemble_columns_ecstr(
+    spec: DescriptorSpec,
+    cache: KernelCache,
+    col_idxs: np.ndarray,
+    chunk: int = 8,
+) -> jnp.ndarray:
+    """Columns of the energy-constrained PSD kernel, restricted to force
+    columns (col < n): returns (n + N, k) — the F-block columns with their
+    energy-row extension appended."""
+    N = cache.X.shape[0]
+    n = cache.n
+    col_idxs = np.asarray(col_idxs)
+    assert col_idxs.max() < n, "only force columns supported as inducing points"
+    top = assemble_columns(spec, cache, col_idxs, chunk=chunk)   # (n, k)
+    K_fe, _ = assemble_ecstr_blocks(spec.dim_i, cache)           # (n, N)
+    bottom = K_fe[col_idxs, :].T  # (N, k): K_EF restricted to the F columns
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def assemble_full_ecstr(
+    spec: DescriptorSpec, cache: KernelCache, tile: int = 32
+) -> jnp.ndarray:
+    """Full PSD kernel with energy-constraint rows/columns appended:
+    shape (n + N, n + N) (reference train.py:1205-1208)."""
+    K = assemble_full(spec, cache, tile=tile)
+    K_fe, K_ee = assemble_ecstr_blocks(spec.dim_i, cache)
+    top = jnp.concatenate([K, K_fe], axis=1)
+    bottom = jnp.concatenate([K_fe.T, K_ee], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +412,17 @@ def _point_block_cols(spec_dim_i: int, cache: KernelCache, j: jnp.ndarray):
     )
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _point_blocks_chunk(spec_dim_i: int, cache: KernelCache, pts: jnp.ndarray):
+    """All-row kernel blocks for a chunk of training points: (len(pts), n, 3A).
+
+    Module-level jit so repeated chunk calls hit the compile cache — a fresh
+    per-call lambda would retrace (and on the remote-compile TPU tunnel,
+    recompile) every chunk.
+    """
+    return jax.lax.map(lambda j: _point_block_cols(spec_dim_i, cache, j), pts)
+
+
 def assemble_columns(
     spec: DescriptorSpec,
     cache: KernelCache,
@@ -273,10 +443,12 @@ def assemble_columns(
 
     blocks = []
     for start in range(0, len(uniq_points), chunk):
-        pts = jnp.asarray(uniq_points[start : start + chunk])
-        blk = jax.lax.map(lambda j: _point_block_cols(T, cache, j), pts)
+        pts = uniq_points[start : start + chunk]
+        if len(pts) < chunk:  # pad to the jitted chunk shape
+            pts = np.concatenate([pts, np.repeat(pts[-1:], chunk - len(pts))])
+        blk = _point_blocks_chunk(T, cache, jnp.asarray(pts))
         blocks.append(blk)  # (chunk, n, T)
-    all_blocks = jnp.concatenate(blocks, axis=0)  # (n_pts, n, T)
+    all_blocks = jnp.concatenate(blocks, axis=0)[: len(uniq_points)]  # (n_pts, n, T)
 
     # Map each requested column to (position of its point, partial index).
     pt_pos = np.searchsorted(uniq_points, points)

@@ -31,10 +31,14 @@ def solve_analytic(
     y: np.ndarray,
     reg: float = ANALYTIC_REG,
     return_K: bool = False,
+    use_E_cstr: bool = False,
 ):
     """Solve (K + reg I) alpha = y densely.  Returns alpha (PSD convention),
     optionally also the assembled PSD kernel."""
-    K = np.asarray(knl.assemble_full(spec, cache))
+    if use_E_cstr:
+        K = np.asarray(knl.assemble_full_ecstr(spec, cache))
+    else:
+        K = np.asarray(knl.assemble_full(spec, cache))
     A = K + reg * np.eye(K.shape[0])
     try:
         L = scipy.linalg.cho_factor(A, overwrite_a=False, check_finite=False)

@@ -54,13 +54,26 @@ class CGResult:
 
 
 def _pcg_chunk(matvec, precon, chunk: int):
-    """One jitted dispatch advancing up to ``chunk`` PCG iterations."""
+    """One jitted dispatch advancing up to ``chunk`` PCG iterations.
 
-    def step(state: CGState, _):
-        def active(state: CGState):
+    A ``while_loop`` writing residual norms into a fixed (chunk,)-buffer:
+    the matvec appears exactly once in the compiled body (a scan-with-cond
+    formulation would duplicate it per branch and burn tail iterations after
+    convergence)."""
+
+    @jax.jit
+    def run(state: CGState, threshold: jnp.ndarray):
+        it0 = state.it
+
+        def cond(carry):
+            state, resid_log = carry
+            return (~state.done) & (state.it - it0 < chunk)
+
+        def body(carry):
+            state, resid_log = carry
             z = precon(state.r)
             rho_new = jnp.vdot(state.r, z)
-            # first iteration: p = z; afterwards p = z + beta p
+            # first iteration overall: p = z; afterwards p = z + beta p
             beta = jnp.where(state.it == 0, 0.0, rho_new / state.rho)
             p = z + beta * state.p
             q = matvec(p)
@@ -68,22 +81,14 @@ def _pcg_chunk(matvec, precon, chunk: int):
             x = state.x + alpha * p
             r = state.r - alpha * q
             resid = jnp.linalg.norm(r)
-            return CGState(x, r, p, rho_new, resid, state.it + 1, state.done)
+            resid_log = resid_log.at[state.it - it0].set(resid)
+            done = resid <= threshold
+            return (CGState(x, r, p, rho_new, resid, state.it + 1, done),
+                    resid_log)
 
-        new_state = jax.lax.cond(state.done, lambda s: s, active, state)
-        return new_state, new_state.resid
-
-    @jax.jit
-    def run(state: CGState, threshold: jnp.ndarray):
-        # flag convergence before each iteration, like scipy
         state = state._replace(done=state.done | (state.resid <= threshold))
-
-        def masked_step(st, xs):
-            st = st._replace(done=st.done | (st.resid <= threshold))
-            return step(st, xs)
-
-        state, resid_log = jax.lax.scan(masked_step, state, None, length=chunk)
-        state = state._replace(done=state.done | (state.resid <= threshold))
+        resid_log = jnp.full((chunk,), jnp.nan, dtype=state.r.dtype)
+        state, resid_log = jax.lax.while_loop(cond, body, (state, resid_log))
         return state, resid_log
 
     return run

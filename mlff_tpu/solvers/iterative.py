@@ -66,9 +66,16 @@ def build_preconditioner(
     n_inducing_pts: int = 25,
 ):
     """Build (P_apply, inducing_pts_idxs, info) for one strategy string."""
-    n = cache.n
+    use_E_cstr = bool((task or {}).get("use_E_cstr", False))
+    n = cache.n + (cache.n_train if use_E_cstr else 0)
     info: dict = {}
     t0 = time.perf_counter()
+
+    if use_E_cstr and strategy not in LEV_STRATEGIES:
+        raise NotImplementedError(
+            f"use_E_cstr with preconditioner {strategy!r} is not supported; "
+            "use a Nyström-family strategy (random_scores/lev_*)"
+        )
 
     if strategy == "cholesky":
         res, info_chol = pivoted_cholesky(spec, cache, max_rank=k)
@@ -84,8 +91,9 @@ def build_preconditioner(
         inducing = np.arange(k)
 
     elif strategy in LEV_STRATEGIES:
+        n_Fcols = cache.n  # inducing columns are always force columns
         if strategy == "random_scores":
-            inducing = pc.select_random(n, k, rng)
+            inducing = pc.select_random(n_Fcols, k, rng)
         elif strategy in ("truncated_cholesky", "truncated_cholesky_custom"):
             # hybrid: first k_trunc columns by pivot order of an incomplete
             # Cholesky, rest uniformly from the remainder
@@ -102,15 +110,18 @@ def build_preconditioner(
         elif strategy in ("rank_k_lev_scores", "rank_k_lev_scores_custom"):
             lev = pc.rank_k_leverage_scores(spec, cache, k)
             p = lev / lev.sum()
-            inducing = np.sort(rng.choice(n, size=k, replace=False, p=p))
+            inducing = np.sort(rng.choice(n_Fcols, size=k, replace=False, p=p))
         else:  # lev_scores / inverse_lev / lev_random
+            # with E constraints, scores are approximated on the force block
             lev, order = pc.leverage_scores(
                 spec, cache, lam, n_inducing_pts, rng
             )
             inducing = pc.select_by_leverage(strategy, lev, order, k, rng)
 
         assert inducing.shape == (k,), "incorrect number of inducing points"
-        P = pc.nystrom_preconditioner(spec, cache, inducing, lam)
+        P = pc.nystrom_preconditioner(
+            spec, cache, inducing, lam, use_E_cstr=use_E_cstr
+        )
 
     else:
         raise NotImplementedError(f"str_preconditioner = {strategy!r}")
@@ -152,7 +163,8 @@ def solve_iterative(
     t_start = time.perf_counter()
     rng = np.random.default_rng(seed)
 
-    n = cache.n
+    use_E_cstr = bool(task.get("use_E_cstr", False))
+    n = cache.n + (cache.n_train if use_E_cstr else 0)
     n_train = cache.n_train
     dim_i = spec.dim_i
     lam = float(cache.lam)
@@ -162,6 +174,8 @@ def solve_iterative(
     num_iters0 = int(task.get("solver_iters", 0) or 0)
     if task.get("alphas0_F") is not None:
         alphas0 = -np.asarray(task["alphas0_F"])  # stored in reference convention
+        if use_E_cstr and task.get("alphas0_E") is not None:
+            alphas0 = np.hstack([alphas0, -np.asarray(task["alphas0_E"])])
 
     if break_percentage is None:
         n_inducing_pts = min(n_train, int(task.get("n_inducing_pts_init", 25)))
@@ -186,7 +200,10 @@ def solve_iterative(
         info["eigvals"] = compute_precon_spectrum(spec, cache, P_apply)
         info["eigvals_K"] = compute_precon_spectrum(spec, cache, None)
 
-    matvec = lambda v: knl.matvec_psd(cache, v)
+    if use_E_cstr:
+        matvec = lambda v: knl.matvec_psd_ecstr(cache, v)
+    else:
+        matvec = lambda v: knl.matvec_psd(cache, v)
     y_dev = jnp.asarray(y)
     maxiter = 3 * spec.n_atoms * n_train * 5 if not flag_eigvals else 10
 

@@ -96,15 +96,21 @@ def nystrom_preconditioner(
     cache: knl.KernelCache,
     inducing_idxs: np.ndarray,
     lam: float,
+    use_E_cstr: bool = False,
 ) -> WoodburyPreconditioner:
     """Nyström preconditioner from a column subset, whitened form.
 
     P = K_nm K_mm^-1 K_mn + lam I, built as L = K_nm chol(K_mm)^-T so that
     P = L L^T + lam I (the numerically stable variant the reference uses in
     both its operators, iterative_solver.py:218-254 and 370-374).
+    With ``use_E_cstr`` the columns span the energy-constrained system
+    (inducing points restricted to force columns).
     """
     inducing_idxs = np.sort(np.asarray(inducing_idxs))
-    K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
+    if use_E_cstr:
+        K_nm = knl.assemble_columns_ecstr(spec, cache, inducing_idxs)
+    else:
+        K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
     K_mm = np.asarray(K_nm)[inducing_idxs, :]
     L_mm = cho_factor_stable(K_mm)
     # L = K_nm L_mm^-T  (n, m): triangular solve against the long side.
