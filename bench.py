@@ -51,7 +51,7 @@ def main():
     from mlff_tpu.ops import descriptor as dsc
     from mlff_tpu.ops import kernel as knl
     from mlff_tpu.solvers import preconditioners as pc
-    from mlff_tpu.solvers.cg import pcg
+    from mlff_tpu.solvers.cg import PCGSolver
 
     log("devices:", jax.devices())
 
@@ -81,20 +81,21 @@ def main():
     y /= y.std()
     b = jnp.asarray(y)
 
-    matvec = lambda v: knl.matvec_psd(cache, v)
+    matvec = (lambda c, v: knl.matvec_psd(c, v), cache)
 
-    # warmup (compile) — same chunk size as the timed run so the compiled
-    # executable is reused
+    # warmup (compile) — one solver instance so the timed run reuses the
+    # compiled chunk executable
     CHUNK = 50
+    solver = PCGSolver(matvec, precon=P, chunk=CHUNK)
     t0 = time.perf_counter()
-    warm = pcg(matvec, b, precon=P, tol=0.0, maxiter=CHUNK, chunk=CHUNK)
+    warm = solver.solve(b, tol=0.0, maxiter=CHUNK)
     log(f"warmup {warm.num_iters} iters (incl. compile) in "
         f"{time.perf_counter() - t0:.2f}s")
 
     # timed run
     n_iter = 150
     t0 = time.perf_counter()
-    res = pcg(matvec, b, precon=P, tol=1e-4, maxiter=n_iter, chunk=CHUNK)
+    res = solver.solve(b, tol=1e-4, maxiter=n_iter)
     elapsed = time.perf_counter() - t0
     iters = max(res.num_iters, 1)
     s_per_iter = elapsed / iters

@@ -164,8 +164,8 @@ class Trainer:
             fac, info_chol = pivoted_cholesky(spec, cache, max_rank=k)
             P = pc.woodbury_from_factor(fac.L, CG_LAM)
             result = pcg(
-                lambda v: knl.matvec_psd(cache, v), jnp.asarray(y), precon=P,
-                tol=float(task.get("solver_tol", 1e-4)),
+                (lambda c, v: knl.matvec_psd(c, v), cache), jnp.asarray(y),
+                precon=P, tol=float(task.get("solver_tol", 1e-4)),
             )
             if not result.converged:
                 raise RuntimeError("cg_cholesky did not converge")

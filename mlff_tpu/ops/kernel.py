@@ -109,6 +109,12 @@ def build_cache(
     f64 first, the CG state and the Jacobian contractions stay f64, only the
     large matmuls run at reduced precision.  This is the explicit
     speed-vs-parity experiment of SURVEY.md §7.1 (f64 on TPU is emulated).
+
+    Measured result: plain-CG with an f32/bf16 matvec DIVERGES on the
+    production system (lam = 1e-10 against diag(K) ~ 1e-1..1e-4 needs ~9
+    significant digits).  Reduced precision is only usable inside an
+    iterative-refinement outer loop (see solvers.cg notes), or for force
+    prediction / preconditioner-quality experiments at loose tolerance.
     """
     q = SQRT5 / sig
     Xq = q * X

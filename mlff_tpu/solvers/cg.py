@@ -53,6 +53,29 @@ class CGResult:
     stagnated: bool = False
 
 
+def _normalize_op(op):
+    """Normalize an operator to (fn(state, v), state).
+
+    Accepted forms:
+      * an object with ``as_op()`` (e.g. WoodburyPreconditioner),
+      * a tuple ``(fn, state)`` with fn(state, v) — the state pytree enters
+        the jitted loop as an *argument*, which is essential on TPU: a plain
+        closure embeds the operator's arrays as executable constants (a
+        198 MB Woodbury factor became a 2 GB binary and a 5-minute compile),
+      * a bare callable fn(v) — convenient for tests; arrays it closes over
+        are baked into the executable.
+    """
+    if op is None:
+        return (lambda s, v: v), None
+    if hasattr(op, "as_op"):
+        return op.as_op()
+    if isinstance(op, tuple) and len(op) == 2 and callable(op[0]):
+        return op
+    if callable(op):
+        return (lambda s, v: op(v)), None
+    raise TypeError(f"cannot interpret operator {op!r}")
+
+
 def _pcg_chunk(matvec, precon, chunk: int):
     """One jitted dispatch advancing up to ``chunk`` PCG iterations.
 
@@ -62,7 +85,7 @@ def _pcg_chunk(matvec, precon, chunk: int):
     convergence)."""
 
     @jax.jit
-    def run(state: CGState, threshold: jnp.ndarray):
+    def run(mv_state, pc_state, state: CGState, threshold: jnp.ndarray):
         it0 = state.it
 
         def cond(carry):
@@ -71,12 +94,12 @@ def _pcg_chunk(matvec, precon, chunk: int):
 
         def body(carry):
             state, resid_log = carry
-            z = precon(state.r)
+            z = precon(pc_state, state.r)
             rho_new = jnp.vdot(state.r, z)
             # first iteration overall: p = z; afterwards p = z + beta p
             beta = jnp.where(state.it == 0, 0.0, rho_new / state.rho)
             p = z + beta * state.p
-            q = matvec(p)
+            q = matvec(mv_state, p)
             alpha = rho_new / jnp.vdot(p, q)
             x = state.x + alpha * p
             r = state.r - alpha * q
@@ -94,10 +117,45 @@ def _pcg_chunk(matvec, precon, chunk: int):
     return run
 
 
+class PCGSolver:
+    """Reusable PCG solver: the chunked device loop is compiled once per
+    (operator-structure, chunk) and shared across ``solve`` calls — repeated
+    solves (warm starts, benchmarks, restarts) pay no retrace/recompile.
+
+    Pass operators in ``(fn, state)`` form (see _normalize_op) so their
+    arrays enter the compiled loop as arguments, not constants."""
+
+    def __init__(self, matvec, precon=None, chunk: int = 25):
+        self.mv_fn, self.mv_state = _normalize_op(matvec)
+        self.pc_fn, self.pc_state = _normalize_op(precon)
+        self.chunk = chunk
+        self._run = _pcg_chunk(self.mv_fn, self.pc_fn, chunk)
+
+    def solve(self, b, **kwargs) -> CGResult:
+        return _pcg_drive(
+            lambda state, threshold: self._run(
+                self.mv_state, self.pc_state, state, threshold
+            ),
+            lambda v: self.mv_fn(self.mv_state, v),
+            b, chunk=self.chunk, **kwargs,
+        )
+
+
 def pcg(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
     precon: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    chunk: int = 25,
+    **kwargs,
+) -> CGResult:
+    """One-shot convenience wrapper around PCGSolver."""
+    return PCGSolver(matvec, precon, chunk).solve(b, **kwargs)
+
+
+def _pcg_drive(
+    run,
+    matvec,
+    b: jnp.ndarray,
     x0: jnp.ndarray | None = None,
     tol: float = 1e-4,
     maxiter: int | None = None,
@@ -108,7 +166,7 @@ def pcg(
     it0: int = 0,
     break_on_stagnation: bool = False,
 ) -> CGResult:
-    """Solve A x = b with left-preconditioned CG.
+    """Host driver for the chunked device loop.
 
     callback(num_iters, resid, eff) is invoked once per chunk with host
     values; checkpoint_callback(x_np, num_iters, resid) roughly every
@@ -118,8 +176,6 @@ def pcg(
     n = b.shape[0]
     if maxiter is None:
         maxiter = 10 * n
-    if precon is None:
-        precon = lambda r: r
 
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     r0 = b - matvec(x0)
@@ -131,8 +187,6 @@ def pcg(
         done=jnp.asarray(False),
     )
     threshold = tol * jnp.linalg.norm(b)
-
-    run = _pcg_chunk(matvec, precon, chunk)
 
     resid_hist: list[np.ndarray] = []
     steps_hist: collections.deque = collections.deque(maxlen=CG_STEPS_HIST_LEN)

@@ -56,6 +56,15 @@ class WoodburyPreconditioner(NamedTuple):
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
         return (v - self.T.T @ (self.T @ v)) / self.lam
 
+    def as_op(self):
+        """(fn, state) form for PCGSolver: keeps T out of the compiled
+        executable's constants (see solvers.cg._normalize_op)."""
+        return woodbury_apply, self
+
+
+def woodbury_apply(P: "WoodburyPreconditioner", v: jnp.ndarray) -> jnp.ndarray:
+    return (v - P.T.T @ (P.T @ v)) / P.lam
+
 
 def cho_factor_stable(M: np.ndarray, max_tries: int = 20) -> np.ndarray:
     """Lower Cholesky factor with escalating diagonal regularization.
@@ -106,18 +115,28 @@ def nystrom_preconditioner(
     With ``use_E_cstr`` the columns span the energy-constrained system
     (inducing points restricted to force columns).
     """
+    import time as _time
+
     inducing_idxs = np.sort(np.asarray(inducing_idxs))
+    t0 = _time.perf_counter()
     if use_E_cstr:
         K_nm = knl.assemble_columns_ecstr(spec, cache, inducing_idxs)
     else:
         K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
-    K_mm = np.asarray(K_nm)[inducing_idxs, :]
+    K_nm_host = np.asarray(K_nm)  # one device->host transfer
+    t1 = _time.perf_counter()
+    K_mm = K_nm_host[inducing_idxs, :]
     L_mm = cho_factor_stable(K_mm)
+    t2 = _time.perf_counter()
     # L = K_nm L_mm^-T  (n, m): triangular solve against the long side.
-    Lfac = scipy.linalg.solve_triangular(
-        L_mm, np.asarray(K_nm).T, lower=True
-    ).T
-    return woodbury_from_factor(jnp.asarray(Lfac), lam)
+    Lfac = scipy.linalg.solve_triangular(L_mm, K_nm_host.T, lower=True).T
+    t3 = _time.perf_counter()
+    P = woodbury_from_factor(jnp.asarray(Lfac), lam)
+    log.info(
+        "nystrom build: columns %.1fs, chol(K_mm) %.1fs, whiten %.1fs, "
+        "woodbury %.1fs", t1 - t0, t2 - t1, t3 - t2, _time.perf_counter() - t3,
+    )
+    return P
 
 
 # ---------------------------------------------------------------------------
