@@ -120,12 +120,17 @@ class Trainer:
                                     float(task["lam"]))
             t0 = time.perf_counter()
             ecstr = bool(task.get("use_E_cstr"))
+            cprsn = task.get("cprsn_keep_atoms_idxs")
             if self.return_K:
                 alphas_psd, K_dense = solve_analytic(
-                    spec, cache, y, return_K=True, use_E_cstr=ecstr
+                    spec, cache, y, return_K=True, use_E_cstr=ecstr,
+                    cprsn_keep_atoms_idxs=cprsn,
                 )
             else:
-                alphas_psd = solve_analytic(spec, cache, y, use_E_cstr=ecstr)
+                alphas_psd = solve_analytic(
+                    spec, cache, y, use_E_cstr=ecstr,
+                    cprsn_keep_atoms_idxs=cprsn,
+                )
             info_solver["total_time_solve"] = time.perf_counter() - t0
 
         elif solver == "cg":
@@ -227,10 +232,20 @@ class Trainer:
         spec = dsc.make_spec(n_atoms)
         S = dsc.incidence_matrix(spec)
 
-        r_d_desc_alpha = np.asarray(dsc.d_desc_dot_vec(
-            jnp.asarray(R_d_desc), S,
-            jnp.asarray(np.asarray(alphas_F).reshape(n_train, n_atoms, 3)),
-        ))
+        if "cprsn_keep_atoms_idxs" in task:
+            # symmetry-compressed coefficients: contract against the kept
+            # atoms' Jacobian columns only (reference train.py:616-634)
+            keep = np.asarray(task["cprsn_keep_atoms_idxs"])
+            Jfull = np.asarray(
+                jnp.einsum("qa,kqx->kqax", S, jnp.asarray(R_d_desc))
+            )  # (N, D, A, 3)
+            a3 = np.asarray(alphas_F).reshape(n_train, len(keep), 3)
+            r_d_desc_alpha = np.einsum("kqax,kax->kq", Jfull[:, :, keep, :], a3)
+        else:
+            r_d_desc_alpha = np.asarray(dsc.d_desc_dot_vec(
+                jnp.asarray(R_d_desc), S,
+                jnp.asarray(np.asarray(alphas_F).reshape(n_train, n_atoms, 3)),
+            ))
 
         model = {
             "type": "m",

@@ -376,7 +376,10 @@ def assemble_block(
 
     u = jnp.einsum("bcpd,cpdt->bcpt", delta, Jf_Jp)         # (B, C, P, T)
     v1 = jnp.einsum("bcpd,bds->bcps", delta, Jf_I)          # (B, C, P, T)
-    rank = jnp.einsum("bcp,bcps,bcpt->bcst", base, v1, u)   # (B, C, T, T)
+    # contract the perm axis as a batched GEMM (a fused three-operand einsum
+    # materializes a (B, C, P, T, T) tensor and OOMs at scale)
+    bv = base[..., None] * v1                               # (B, C, P, T)
+    rank = jnp.einsum("bcps,bcpt->bcst", bv, u)             # (B, C, T, T)
     W = jnp.einsum("bcp,cpdt->bcdt", c_iso, Jf_Jp)          # (B, C, D, T)
     iso = jnp.einsum("bds,bcdt->bcst", Jf_I, W)             # (B, C, T, T)
 
@@ -446,6 +449,30 @@ def assemble_columns(
     T = spec.dim_i
     points = col_idxs // T           # owning training point of each column
     uniq_points = np.unique(points)
+    N = cache.n_train
+
+    if len(uniq_points) > N // 3:
+        # dense-ish column set: assemble wide row-tiles against ALL touched
+        # points in one shot — large matmul-shaped ops instead of per-point
+        # slivers (which run ~100x slower on TPU).  Row tile sized to keep
+        # the (tile, n_pts, D, 3A) intermediate ~<= 1.5 GB.
+        pts_dev = jnp.asarray(uniq_points)
+        local_col = (
+            np.searchsorted(uniq_points, points) * T + (col_idxs % T)
+        )
+        local_col_dev = jnp.asarray(local_col)
+        # row tile sized so the largest per-tile intermediate
+        # ((tile, n_pts, D, 3A) in f64) stays ~<= 0.4 GB
+        D3A = spec.dim * T * 8
+        tile = max(4, min(N, int(4e8 / max(len(uniq_points) * D3A, 1))))
+        rows = []
+        for start in range(0, N, tile):
+            # fixed tile shape (clamped indices) => one compiled executable
+            I_idx = jnp.clip(jnp.arange(start, start + tile), 0, N - 1)
+            blk = assemble_block(T, cache, I_idx, pts_dev)
+            valid = min(tile, N - start) * T
+            rows.append(blk[:valid, local_col_dev])   # gather on device
+        return jnp.concatenate(rows, axis=0)
 
     blocks = []
     for start in range(0, len(uniq_points), chunk):

@@ -32,9 +32,29 @@ def solve_analytic(
     reg: float = ANALYTIC_REG,
     return_K: bool = False,
     use_E_cstr: bool = False,
+    cprsn_keep_atoms_idxs: np.ndarray | None = None,
 ):
     """Solve (K + reg I) alpha = y densely.  Returns alpha (PSD convention),
-    optionally also the assembled PSD kernel."""
+    optionally also the assembled PSD kernel.
+
+    With ``cprsn_keep_atoms_idxs`` the kernel is compressed along symmetric
+    degrees of freedom: only the partials of the kept atoms form columns and
+    the (n, m) system is solved by least squares
+    (reference analytic.py:58-76, 183-193).
+    """
+    if cprsn_keep_atoms_idxs is not None:
+        n_train = cache.n_train
+        dim_i = spec.dim_i
+        keep_lin = (
+            np.arange(dim_i).reshape(spec.n_atoms, 3)[cprsn_keep_atoms_idxs]
+        ).ravel()
+        col_idxs = (keep_lin[:, None] + np.arange(n_train) * dim_i).T.ravel()
+        K_nm = np.asarray(knl.assemble_columns(spec, cache, np.sort(col_idxs)))
+        alphas = np.linalg.lstsq(K_nm, y, rcond=-1)[0]
+        if return_K:
+            return alphas, K_nm
+        return alphas
+
     if use_E_cstr:
         K = np.asarray(knl.assemble_full_ecstr(spec, cache))
     else:
