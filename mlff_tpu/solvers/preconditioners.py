@@ -89,15 +89,38 @@ def cho_factor_stable(M: np.ndarray, max_tries: int = 20) -> np.ndarray:
     raise np.linalg.LinAlgError("cho_factor_stable failed to regularize matrix")
 
 
+def device_chol_stable(M: jnp.ndarray, max_tries: int = 8) -> jnp.ndarray:
+    """Lower Cholesky on device with escalating jitter.
+
+    Device counterpart of ``cho_factor_stable``: jnp.linalg.cholesky returns
+    NaNs instead of raising, so failure is detected by a one-scalar transfer
+    and retried with ~10x stronger diagonal regularization.  Keeping the
+    factorization on device matters here: device->host transfers through the
+    TPU tunnel were measured at <1 MB/s, so shipping an (m, n) factor to
+    LAPACK costs minutes while the on-device solve takes milliseconds.
+    """
+    m = M.shape[0]
+    eye = jnp.eye(m, dtype=M.dtype)
+    scale = float(jnp.max(jnp.abs(jnp.diagonal(M))))
+    jitter = 0.0
+    for i in range(max_tries):
+        L = jnp.linalg.cholesky(M + jitter * eye)
+        if not bool(jnp.isnan(jnp.sum(L))):
+            return L
+        jitter = max(jitter * 10.0, scale * 1e-14)
+        log.warning("device_chol_stable: escalating jitter to %.2e", jitter)
+    raise np.linalg.LinAlgError("device_chol_stable failed to regularize matrix")
+
+
 def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburyPreconditioner:
-    """Build the Woodbury apply operator from a low-rank factor L (n, k)."""
+    """Build the Woodbury apply operator from a low-rank factor L (n, k).
+    Fully on device (see device_chol_stable for why)."""
     k = L.shape[1]
-    inner = np.asarray(L.T @ L) + lam * np.eye(k)
-    G = scipy.linalg.cholesky(inner, lower=True)
-    # T = G^-1 L^T, (k, n): one big triangular solve, done via LAPACK then
-    # shipped to device (device keeps the per-iteration GEMVs).
-    T = scipy.linalg.solve_triangular(G, np.asarray(L).T, lower=True)
-    return WoodburyPreconditioner(T=jnp.asarray(T), lam=jnp.asarray(lam, L.dtype))
+    L = jnp.asarray(L)
+    inner = L.T @ L + lam * jnp.eye(k, dtype=L.dtype)
+    G = device_chol_stable(inner)
+    T = jax.scipy.linalg.solve_triangular(G, L.T, lower=True)  # (k, n)
+    return WoodburyPreconditioner(T=T, lam=jnp.asarray(lam, L.dtype))
 
 
 def nystrom_preconditioner(
@@ -123,18 +146,21 @@ def nystrom_preconditioner(
         K_nm = knl.assemble_columns_ecstr(spec, cache, inducing_idxs)
     else:
         K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
-    K_nm_host = np.asarray(K_nm)  # one device->host transfer
+    K_nm.block_until_ready()
     t1 = _time.perf_counter()
-    K_mm = K_nm_host[inducing_idxs, :]
-    L_mm = cho_factor_stable(K_mm)
+    # whole factorization stays on device — only scalars cross the tunnel
+    K_mm = K_nm[jnp.asarray(inducing_idxs), :]
+    L_mm = device_chol_stable(K_mm)
+    B = jax.scipy.linalg.solve_triangular(L_mm, K_nm.T, lower=True)  # (m, n)
     t2 = _time.perf_counter()
-    # L = K_nm L_mm^-T  (n, m): triangular solve against the long side.
-    Lfac = scipy.linalg.solve_triangular(L_mm, K_nm_host.T, lower=True).T
-    t3 = _time.perf_counter()
-    P = woodbury_from_factor(jnp.asarray(Lfac), lam)
+    inner = B @ B.T + lam * jnp.eye(B.shape[0], dtype=B.dtype)
+    G = device_chol_stable(inner)
+    T = jax.scipy.linalg.solve_triangular(G, B, lower=True)          # (m, n)
+    T.block_until_ready()
+    P = WoodburyPreconditioner(T=T, lam=jnp.asarray(lam, T.dtype))
     log.info(
-        "nystrom build: columns %.1fs, chol(K_mm) %.1fs, whiten %.1fs, "
-        "woodbury %.1fs", t1 - t0, t2 - t1, t3 - t2, _time.perf_counter() - t3,
+        "nystrom build (device): columns %.1fs, whiten %.1fs, woodbury %.1fs",
+        t1 - t0, t2 - t1, _time.perf_counter() - t2,
     )
     return P
 
@@ -176,14 +202,14 @@ def leverage_scores(
         lev_approx_idxs = np.sort(idxs_ordered_by_lev_score[-dim_m:])
 
     K_nm = knl.assemble_columns(spec, cache, lev_approx_idxs)  # (n, m)
-    K_mm = np.asarray(K_nm)[lev_approx_idxs, :]
-    L = cho_factor_stable(K_mm)
-    # whiten: Bt = L^-1 K_mn, (m, n)
-    Bt = scipy.linalg.solve_triangular(L, np.asarray(K_nm).T, lower=True)
-    BBT = Bt @ Bt.T + lam * np.eye(Bt.shape[0])
-    C = cho_factor_stable(BBT)
-    CB = scipy.linalg.solve_triangular(C, Bt, lower=True)
-    lev = np.einsum("ij,ij->j", CB, CB)
+    # on-device pipeline (device->host transfer of K_nm would dominate)
+    K_mm = K_nm[jnp.asarray(lev_approx_idxs), :]
+    L = device_chol_stable(K_mm)
+    Bt = jax.scipy.linalg.solve_triangular(L, K_nm.T, lower=True)  # (m, n)
+    BBT = Bt @ Bt.T + lam * jnp.eye(Bt.shape[0], dtype=Bt.dtype)
+    C = device_chol_stable(BBT)
+    CB = jax.scipy.linalg.solve_triangular(C, Bt, lower=True)
+    lev = np.asarray(jnp.sum(CB * CB, axis=0))  # (n,) — small transfer
     return lev, np.argsort(lev)
 
 
