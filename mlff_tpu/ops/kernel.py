@@ -421,6 +421,33 @@ def _point_block_cols(spec_dim_i: int, cache: KernelCache, j: jnp.ndarray):
     )
 
 
+@partial(jax.jit, static_argnums=(0, 4))
+def _assemble_columns_wide(
+    spec_dim_i: int,
+    cache: KernelCache,
+    pts: jnp.ndarray,
+    local_cols: jnp.ndarray,
+    tile: int,
+) -> jnp.ndarray:
+    """Wide-tile column assembly as ONE compiled graph: lax.map over row
+    tiles, per-tile dense block against all touched points, on-device column
+    gather.  (Python-loop dispatch through the TPU tunnel costs ~0.5-1s per
+    call; a single graph removes that entirely.)"""
+    N = cache.n_train
+    T = spec_dim_i
+    n_tiles = -(-N // tile)
+    starts = jnp.arange(n_tiles) * tile
+
+    def one(start):
+        I_idx = jnp.clip(start + jnp.arange(tile), 0, N - 1)
+        blk = assemble_block(T, cache, I_idx, pts)
+        return blk[:, local_cols]              # (tile*T, k)
+
+    out = jax.lax.map(one, starts)             # (n_tiles, tile*T, k)
+    out = out.reshape(n_tiles * tile * T, -1)
+    return out[: N * T]                        # clamp-padding sits at the end
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _point_blocks_chunk(spec_dim_i: int, cache: KernelCache, pts: jnp.ndarray):
     """All-row kernel blocks for a chunk of training points: (len(pts), n, 3A).
@@ -465,14 +492,7 @@ def assemble_columns(
         # ((tile, n_pts, D, 3A) in f64) stays ~<= 0.4 GB
         D3A = spec.dim * T * 8
         tile = max(4, min(N, int(4e8 / max(len(uniq_points) * D3A, 1))))
-        rows = []
-        for start in range(0, N, tile):
-            # fixed tile shape (clamped indices) => one compiled executable
-            I_idx = jnp.clip(jnp.arange(start, start + tile), 0, N - 1)
-            blk = assemble_block(T, cache, I_idx, pts_dev)
-            valid = min(tile, N - start) * T
-            rows.append(blk[:valid, local_col_dev])   # gather on device
-        return jnp.concatenate(rows, axis=0)
+        return _assemble_columns_wide(T, cache, pts_dev, local_col_dev, tile)
 
     blocks = []
     for start in range(0, len(uniq_points), chunk):

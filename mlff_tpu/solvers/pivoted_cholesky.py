@@ -133,6 +133,102 @@ def pivoted_cholesky(
     return res, info
 
 
+def block_rp_cholesky(
+    spec: DescriptorSpec,
+    cache: knl.KernelCache,
+    max_rank: int,
+    block: int = 128,
+    seed: int = 0,
+    diag: jnp.ndarray | None = None,
+) -> tuple[PivotedCholeskyResult, dict]:
+    """Blocked randomly-pivoted Cholesky of (K + lam I).
+
+    TPU-shaped alternative to the greedy sequential pivot loop: each round
+    samples a block of pivots proportionally to the current residual
+    diagonal, assembles those columns in ONE batched call, and applies a
+    rank-``block`` update as GEMMs (cf. accelerated randomly pivoted
+    Cholesky, arXiv:2410.03969 — reimplemented from the method description).
+    k/block rounds of large matmuls replace k sequential rank-1 steps; the
+    factor quality matches greedy pivoting closely in preconditioner use
+    while running orders of magnitude faster on matrix hardware.
+    """
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(seed)
+    if diag is None:
+        diag = knl.kernel_diag(spec.dim_i, cache)
+    n = diag.shape[0]
+    dtype = diag.dtype
+
+    L_blocks = []
+    pivots_all: list[np.ndarray] = []
+    pvals_all: list[np.ndarray] = []
+    chosen = np.zeros(n, dtype=bool)
+    diag_host = np.asarray(diag)
+
+    L = jnp.zeros((n, 0), dtype)
+    remaining = max_rank
+    while remaining > 0:
+        b = min(block, remaining)
+        probs = np.clip(diag_host, 0.0, None)
+        probs[chosen] = 0.0
+        total = probs.sum()
+        if total <= 0:
+            break  # numerically exhausted
+        # sample pivots ~ residual diagonal (without replacement)
+        idx = rng.choice(n, size=min(b, int((probs > 0).sum())),
+                         replace=False, p=probs / total)
+        idx = np.sort(idx)
+        b = len(idx)
+
+        cols = knl.assemble_columns(spec, cache, idx)        # (n, b) + no ridge
+        cols = cols.at[jnp.asarray(idx), jnp.arange(b)].add(float(cache.lam))
+        Lb = _rp_block_update(L, cols, jnp.asarray(idx))     # (n, b)
+        Lb_host_diag = np.asarray(jnp.sum(Lb * Lb, axis=1))
+        diag_host = diag_host - Lb_host_diag
+        pvals_all.append(np.clip(diag_host[idx] + Lb_host_diag[idx], 0, None))
+        pivots_all.append(idx)
+        chosen[idx] = True
+        L = jnp.concatenate([L, Lb], axis=1)
+        remaining -= b
+
+    pivots = np.concatenate(pivots_all) if pivots_all else np.zeros(0, int)
+    pvals = np.concatenate(pvals_all) if pvals_all else np.zeros(0)
+    res = PivotedCholeskyResult(
+        L=L,
+        pivots=jnp.asarray(pivots, jnp.int32),
+        pivot_values=jnp.asarray(pvals, dtype),
+        remaining_diag=jnp.asarray(diag_host, dtype),
+    )
+    elapsed = time.perf_counter() - t0
+    info = {
+        "time_cholesky": np.full(max(len(pivots), 1), elapsed / max(len(pivots), 1)),
+        "L.shape": tuple(L.shape),
+        "index_columns": _full_index_order(res, n),
+        "pivots": pivots,
+        "remaining_diag_error": float(np.abs(diag_host[~chosen]).sum()),
+        "total_time_cholesky_s": elapsed,
+        "block": block,
+    }
+    return res, info
+
+
+@jax.jit
+def _rp_block_update(L: jnp.ndarray, cols: jnp.ndarray, idx: jnp.ndarray):
+    """One RPCholesky block step: Schur-correct the sampled columns against
+    the current factor and orthonormalize within the block."""
+    # Schur correction: cols -= L L[idx]^T  (rank-k_cur GEMM)
+    corr = cols - L @ L[idx].T
+    A_ss = corr[idx]                                    # (b, b)
+    b = A_ss.shape[0]
+    # small relative jitter keeps the in-block factorization finite when the
+    # sampled block is (nearly) rank-deficient; rejected directions then
+    # contribute ~zero columns
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A_ss))), 1e-300)
+    F = jnp.linalg.cholesky(A_ss + (scale * 1e-12) * jnp.eye(b, dtype=A_ss.dtype))
+    Lb = jax.scipy.linalg.solve_triangular(F, corr.T, lower=True).T
+    return Lb
+
+
 def _full_index_order(res: PivotedCholeskyResult, n: int) -> np.ndarray:
     """Pivot order extended to a full permutation of [0, n) — the reference's
     ``index_columns`` (chosen pivots first, remaining columns after, in the

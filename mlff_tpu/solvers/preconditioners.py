@@ -148,21 +148,44 @@ def nystrom_preconditioner(
         K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
     K_nm.block_until_ready()
     t1 = _time.perf_counter()
-    # whole factorization stays on device — only scalars cross the tunnel
-    K_mm = K_nm[jnp.asarray(inducing_idxs), :]
-    L_mm = device_chol_stable(K_mm)
-    B = jax.scipy.linalg.solve_triangular(L_mm, K_nm.T, lower=True)  # (m, n)
-    t2 = _time.perf_counter()
-    inner = B @ B.T + lam * jnp.eye(B.shape[0], dtype=B.dtype)
-    G = device_chol_stable(inner)
-    T = jax.scipy.linalg.solve_triangular(G, B, lower=True)          # (m, n)
+    # the whole factorization is ONE jitted graph: eager op-by-op execution
+    # through the TPU tunnel costs seconds of dispatch/compile latency per op
+    T, nan_flag = _nystrom_factor_fused(K_nm, jnp.asarray(inducing_idxs), lam)
+    if bool(nan_flag):
+        log.warning("fused nystrom factorization hit NaN; retrying robustly")
+        K_mm = K_nm[jnp.asarray(inducing_idxs), :]
+        L_mm = device_chol_stable(K_mm)
+        B = jax.scipy.linalg.solve_triangular(L_mm, K_nm.T, lower=True)
+        inner = B @ B.T + lam * jnp.eye(B.shape[0], dtype=B.dtype)
+        G = device_chol_stable(inner)
+        T = jax.scipy.linalg.solve_triangular(G, B, lower=True)
     T.block_until_ready()
     P = WoodburyPreconditioner(T=T, lam=jnp.asarray(lam, T.dtype))
     log.info(
-        "nystrom build (device): columns %.1fs, whiten %.1fs, woodbury %.1fs",
-        t1 - t0, t2 - t1, _time.perf_counter() - t2,
+        "nystrom build (device): columns %.1fs, factorization %.1fs",
+        t1 - t0, _time.perf_counter() - t1,
     )
     return P
+
+
+@jax.jit
+def _nystrom_factor_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, lam):
+    """Whiten + Woodbury factorization as one compiled graph.
+
+    A small spectral-scale jitter is added up front (the reference shifts
+    the diagonal by +-1e-15 unconditionally too, iterative_solver.py:576-579)
+    so the common path needs no host-side retry; a NaN flag is returned for
+    the rare fallback."""
+    m = K_nm.shape[1]
+    K_mm = K_nm[idxs]
+    eye = jnp.eye(m, dtype=K_nm.dtype)
+    scale = jnp.max(jnp.abs(jnp.diagonal(K_mm)))
+    L_mm = jnp.linalg.cholesky(K_mm + (scale * 1e-14) * eye)
+    B = jax.scipy.linalg.solve_triangular(L_mm, K_nm.T, lower=True)  # (m, n)
+    inner = B @ B.T + lam * eye
+    G = jnp.linalg.cholesky(inner)
+    T = jax.scipy.linalg.solve_triangular(G, B, lower=True)          # (m, n)
+    return T, jnp.isnan(jnp.sum(T))
 
 
 # ---------------------------------------------------------------------------
@@ -202,15 +225,36 @@ def leverage_scores(
         lev_approx_idxs = np.sort(idxs_ordered_by_lev_score[-dim_m:])
 
     K_nm = knl.assemble_columns(spec, cache, lev_approx_idxs)  # (n, m)
-    # on-device pipeline (device->host transfer of K_nm would dominate)
-    K_mm = K_nm[jnp.asarray(lev_approx_idxs), :]
-    L = device_chol_stable(K_mm)
-    Bt = jax.scipy.linalg.solve_triangular(L, K_nm.T, lower=True)  # (m, n)
-    BBT = Bt @ Bt.T + lam * jnp.eye(Bt.shape[0], dtype=Bt.dtype)
-    C = device_chol_stable(BBT)
-    CB = jax.scipy.linalg.solve_triangular(C, Bt, lower=True)
-    lev = np.asarray(jnp.sum(CB * CB, axis=0))  # (n,) — small transfer
+    # single fused on-device pipeline; only the (n,) score vector transfers
+    lev_dev, nan_flag = _lev_scores_fused(K_nm, jnp.asarray(lev_approx_idxs), lam)
+    if bool(nan_flag):
+        log.warning("fused leverage-score pipeline hit NaN; retrying robustly")
+        K_mm = K_nm[jnp.asarray(lev_approx_idxs), :]
+        L = device_chol_stable(K_mm)
+        Bt = jax.scipy.linalg.solve_triangular(L, K_nm.T, lower=True)
+        BBT = Bt @ Bt.T + lam * jnp.eye(Bt.shape[0], dtype=Bt.dtype)
+        C = device_chol_stable(BBT)
+        CB = jax.scipy.linalg.solve_triangular(C, Bt, lower=True)
+        lev_dev = jnp.sum(CB * CB, axis=0)
+    lev = np.asarray(lev_dev)
     return lev, np.argsort(lev)
+
+
+@jax.jit
+def _lev_scores_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, lam):
+    """Whiten + ridge leverage scores as one compiled graph (same rationale
+    as _nystrom_factor_fused)."""
+    m = K_nm.shape[1]
+    eye = jnp.eye(m, dtype=K_nm.dtype)
+    K_mm = K_nm[idxs]
+    scale = jnp.max(jnp.abs(jnp.diagonal(K_mm)))
+    L = jnp.linalg.cholesky(K_mm + (scale * 1e-14) * eye)
+    Bt = jax.scipy.linalg.solve_triangular(L, K_nm.T, lower=True)
+    BBT = Bt @ Bt.T + lam * eye
+    C = jnp.linalg.cholesky(BBT)
+    CB = jax.scipy.linalg.solve_triangular(C, Bt, lower=True)
+    lev = jnp.sum(CB * CB, axis=0)
+    return lev, jnp.isnan(jnp.sum(lev))
 
 
 def select_by_leverage(
