@@ -20,9 +20,22 @@ Design notes (vs. the reference, see SURVEY.md):
     factorizations.  Mixed-precision fast paths are explicit opt-ins.
 """
 
+import os
+
 import jax
 
 # Kernel conditioning requires f64 state (see module docstring).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU (re)compiles through remote-compile
+# tunnels cost minutes; cache them across processes.  Override the location
+# with MLFF_TPU_COMPILE_CACHE, or set it to "off" to disable.
+_cache_dir = os.environ.get(
+    "MLFF_TPU_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "mlff_tpu_jax"),
+)
+if _cache_dir.lower() != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
