@@ -17,6 +17,7 @@ checkpointing — no per-iteration host/device sync.
 from __future__ import annotations
 
 import collections
+import functools
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -53,6 +54,10 @@ class CGResult:
     stagnated: bool = False
 
 
+def _identity_op(_state, v):
+    return v
+
+
 def _normalize_op(op):
     """Normalize an operator to (fn(state, v), state).
 
@@ -64,9 +69,13 @@ def _normalize_op(op):
         198 MB Woodbury factor became a 2 GB binary and a 5-minute compile),
       * a bare callable fn(v) — convenient for tests; arrays it closes over
         are baked into the executable.
+
+    Pass MODULE-LEVEL functions in the (fn, state) form where possible: the
+    chunk executable is memoized on function identity, so stable fns let
+    repeated solves (sweeps, restarts) skip retracing entirely.
     """
     if op is None:
-        return (lambda s, v: v), None
+        return _identity_op, None
     if hasattr(op, "as_op"):
         return op.as_op()
     if isinstance(op, tuple) and len(op) == 2 and callable(op[0]):
@@ -76,6 +85,7 @@ def _normalize_op(op):
     raise TypeError(f"cannot interpret operator {op!r}")
 
 
+@functools.lru_cache(maxsize=64)
 def _pcg_chunk(matvec, precon, chunk: int):
     """One jitted dispatch advancing up to ``chunk`` PCG iterations.
 

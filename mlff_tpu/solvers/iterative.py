@@ -208,10 +208,11 @@ def solve_iterative(
         info["eigvals"] = compute_precon_spectrum(spec, cache, P_apply)
         info["eigvals_K"] = compute_precon_spectrum(spec, cache, None)
 
-    # (fn, state) operator form: the kernel cache rides into the compiled CG
-    # loop as an argument, not as embedded constants
+    # (fn, state) operator form with module-level fns: the kernel cache rides
+    # into the compiled CG loop as an argument (not embedded constants) and
+    # the chunk executable is shared across solves
     mv_fn = knl.matvec_psd_ecstr if use_E_cstr else knl.matvec_psd
-    matvec = (lambda c, v: mv_fn(c, v), cache)
+    matvec = (mv_fn, cache)
     y_dev = jnp.asarray(y)
     maxiter = 3 * spec.n_atoms * n_train * 5 if not flag_eigvals else 10
 
