@@ -143,6 +143,10 @@ def _desc_forces(cache: KernelCache, Xq_query, A_exp, A_exp1, wt):
     cotangent to be contracted against the *Jacobian* (predict.py:229-233);
     the reference GPU path's extra xs**3 factor (torchtools.py:259) belongs
     to its raw-coordinate-diff contraction and must NOT appear here.
+
+    (A two-wide-GEMM fusion via operand augmentation was benchmarked at
+    7.83 vs 7.50 ms/iter for this three-GEMM form — no gain, so the simpler
+    formulation stays.)
     """
     ct = jnp.sum(cache.Xqt * wt, axis=1)            # (M,)
     dot = Xq_query @ wt.T - ct[None, :]             # (B, M)
