@@ -21,7 +21,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..data.synthetic import MOLECULES, make_dataset
+from ..data.synthetic import MOLECULES
 from ..models.gdml import Trainer
 from ..models.task import create_task
 from ..utils.log import get_logger

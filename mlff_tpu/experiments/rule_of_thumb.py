@@ -13,7 +13,6 @@ Cost model:  cost(k) = prefactor * (k / k_unity)^(-m) + (k / n)^2
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Union
 
 import numpy as np

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..data.synthetic import MOLECULES, make_dataset
 from ..utils.log import get_logger
-from .harness import cg_steps, harness_task, minimum_preconditioner_size, normalize_to_aspirin
+from .harness import harness_task, minimum_preconditioner_size, normalize_to_aspirin
 
 log = get_logger(__name__)
 
