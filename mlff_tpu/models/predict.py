@@ -28,9 +28,17 @@ from ..ops import kernel as knl
 
 
 class Predictor:
-    """Evaluate a trained (s)GDML model on query geometries."""
+    """Evaluate a trained (s)GDML model on query geometries.
 
-    def __init__(self, model: dict, batch_size: int | None = None):
+    ``fast=True`` routes the descriptor-space contraction through the fused
+    f32 Pallas kernel (ops/pallas_predict.py) — inference tolerates reduced
+    precision (~1e-6 relative force error), unlike the training solve.  Only
+    available with energy-unconstrained models on TPU (interpret mode
+    elsewhere is for tests).
+    """
+
+    def __init__(self, model: dict, batch_size: int | None = None,
+                 fast: bool = False):
         self.model = model
         n_atoms = int(np.asarray(model["z"]).shape[0])
         self.spec = dsc.make_spec(n_atoms)
@@ -75,7 +83,26 @@ class Predictor:
             batch_size = max(1, min(512, int(2**27 / max(M, 1))))
         self.batch_size = batch_size
 
-        self._predict_batch = jax.jit(self._predict_batch_impl)
+        self.fast = (
+            bool(fast) and self.vE_lin is None
+            and jax.default_backend() == "tpu"
+        )
+        self._predict_batch = jax.jit(
+            self._predict_batch_fast if self.fast else self._predict_batch_impl
+        )
+
+    def _predict_batch_fast(self, R_batch: jnp.ndarray):
+        """f32 Pallas contraction path (forces/energies, no E constraints)."""
+        from ..ops.pallas_predict import desc_forces_pallas
+
+        fn = partial(dsc.descriptor, self.spec, lat_and_inv=self.lat_and_inv)
+        X_query, Jc_query = jax.vmap(fn)(R_batch)
+        q = knl.SQRT5 / self.sig
+        F_desc, E = desc_forces_pallas(q * X_query, self.Xqt, self.wt, self.sig)
+        F = dsc.vec_dot_d_desc(
+            Jc_query, self.S, F_desc.astype(Jc_query.dtype)
+        ) * self.std
+        return E.astype(jnp.float64) * self.std + self.c, F
 
     @classmethod
     def from_alphas(cls, task_like: dict, R_desc, R_d_desc, alphas_F, std=1.0):
