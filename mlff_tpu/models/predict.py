@@ -25,6 +25,9 @@ import numpy as np
 
 from ..ops import descriptor as dsc
 from ..ops import kernel as knl
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
 
 
 class Predictor:
@@ -176,7 +179,19 @@ class Predictor:
                 # pad to the jitted batch shape to avoid recompiles
                 pad = B - batch.shape[0]
                 batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)], axis=0)
-            E, F = self._predict_batch(jnp.asarray(batch))
+            try:
+                E, F = self._predict_batch(jnp.asarray(batch))
+            except Exception:
+                if not self.fast:
+                    raise
+                # Mosaic availability varies by environment (e.g. remote-
+                # compile tunnels); fall back to the jnp path permanently
+                log.warning(
+                    "pallas fast path failed to compile; falling back to jnp"
+                )
+                self.fast = False
+                self._predict_batch = jax.jit(self._predict_batch_impl)
+                E, F = self._predict_batch(jnp.asarray(batch))
             E, F = np.asarray(E), np.asarray(F)
             if pad:
                 E, F = E[:-pad], F[:-pad]

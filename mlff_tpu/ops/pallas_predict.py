@@ -44,12 +44,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _contract_kernel(xq_ref, xt_ref, wt_ref, mask_ref, f_ref, e_ref, *, sig):
+def _contract_kernel(xq_ref, xt_ref, wt_ref, f_ref, e_ref, *, sig, M, TM):
     """Grid: (B_tiles, M_tiles).  Blocks:
-    xq (TB, D), xt (TM, D), wt (TM, D), mask (TM, 1) -> f (TB, D), e (TB, 1).
+    xq (TB, D), xt (TM, D), wt (TM, D) -> f (TB, D), e (TB, 128).
 
     The M-axis accumulates across grid steps (revisiting the same output
-    block), so outputs are initialized at m_tile == 0.
+    block), so outputs are initialized at m_tile == 0.  Padding rows of the
+    training axis are masked from static sizes + iota (blocks with a
+    last dimension of 1 fail Mosaic legalization, so no mask operand and the
+    energy accumulator uses a full 128-lane block, column 0 meaningful).
     """
     m_idx = pl.program_id(1)
 
@@ -61,20 +64,21 @@ def _contract_kernel(xq_ref, xt_ref, wt_ref, mask_ref, f_ref, e_ref, *, sig):
     xq = xq_ref[:, :]          # (TB, D)
     xt = xt_ref[:, :]          # (TM, D)
     wt = wt_ref[:, :]          # (TM, D)
-    mask = mask_ref[:, 0]      # (TM,) 1.0 for real rows, 0.0 for padding
+
+    # training-row validity from static sizes (handles the padded tail tile)
+    row_ids = m_idx * TM + jax.lax.broadcasted_iota(jnp.int32, (1, TM), 1)
+    mask = (row_ids < M).astype(jnp.float32)                # (1, TM)
 
     # Gram-trick distances
     nq = jnp.sum(xq * xq, axis=1, keepdims=True)            # (TB, 1)
-    nt = jnp.sum(xt * xt, axis=1)                           # (TM,)
+    nt = jnp.sum(xt * xt, axis=1, keepdims=True).T          # (1, TM)
     g = jnp.dot(xq, xt.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(nq + nt[None, :] - 2.0 * g, 0.0)
+    d2 = jnp.maximum(nq + nt - 2.0 * g, 0.0)
     dist = jnp.sqrt(d2)
 
-    a = (5.0 / (3.0 * sig**2)) * jnp.exp(-dist) * mask[None, :]
-    ct = jnp.sum(xt * wt, axis=1)                           # (TM,)
-    dot = (
-        jnp.dot(xq, wt.T, preferred_element_type=jnp.float32) - ct[None, :]
-    )                                                       # (TB, TM)
+    a = (5.0 / (3.0 * sig**2)) * jnp.exp(-dist) * mask
+    ct = jnp.sum(xt * wt, axis=1, keepdims=True).T          # (1, TM)
+    dot = jnp.dot(xq, wt.T, preferred_element_type=jnp.float32) - ct
 
     G = a * dot
     a1 = a * (1.0 + dist)
@@ -85,7 +89,8 @@ def _contract_kernel(xq_ref, xt_ref, wt_ref, mask_ref, f_ref, e_ref, *, sig):
         - jnp.dot(a1, wt, preferred_element_type=jnp.float32)
     )
     q = SQRT5 / sig
-    e_ref[:, 0] += jnp.sum(a1 * dot, axis=1) / q
+    e_col = jnp.sum(a1 * dot, axis=1, keepdims=True) / q    # (TB, 1)
+    e_ref[:, :] += e_col  # broadcast over lanes; column 0 is read back
 
 
 @functools.partial(jax.jit, static_argnames=("sig", "interpret"))
@@ -110,26 +115,24 @@ def desc_forces_pallas(
     xq = jnp.zeros((Bp, Dp), f32).at[:B, :D].set(Xq_query.astype(f32))
     xt = jnp.zeros((Mp, Dp), f32).at[:M, :D].set(Xqt.astype(f32))
     w = jnp.zeros((Mp, Dp), f32).at[:M, :D].set(wt.astype(f32))
-    mask = jnp.zeros((Mp, 1), f32).at[:M, 0].set(1.0)
 
     grid = (Bp // TB, Mp // TM)
     f, e = pl.pallas_call(
-        functools.partial(_contract_kernel, sig=float(sig)),
+        functools.partial(_contract_kernel, sig=float(sig), M=M, TM=TM),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TB, Dp), lambda i, j: (i, 0)),
             pl.BlockSpec((TM, Dp), lambda i, j: (j, 0)),
             pl.BlockSpec((TM, Dp), lambda i, j: (j, 0)),
-            pl.BlockSpec((TM, 1), lambda i, j: (j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((TB, Dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((TB, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((TB, 128), lambda i, j: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, Dp), f32),
-            jax.ShapeDtypeStruct((Bp, 1), f32),
+            jax.ShapeDtypeStruct((Bp, 128), f32),
         ],
         interpret=interpret,
-    )(xq, xt, w, mask)
+    )(xq, xt, w)
     return f[:B, :D], e[:B, 0]
