@@ -27,6 +27,12 @@ import jax
 # Kernel conditioning requires f64 state (see module docstring).
 jax.config.update("jax_enable_x64", True)
 
+# NOTE on f32 matmul precision: TPU f32 matmuls default to single-pass bf16
+# (~3 decimal digits).  The f32-sensitive paths (pallas_predict, ir_cg) set
+# Precision.HIGHEST explicitly; a global jax_default_matmul_precision flag
+# is deliberately NOT set — it changes every compiled module's cache key and
+# invalidates the persistent compile cache wholesale.
+
 # Persistent compilation cache: TPU (re)compiles through remote-compile
 # tunnels cost minutes; cache them across processes.  Override the location
 # with MLFF_TPU_COMPILE_CACHE, or set it to "off" to disable.

@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,10 +83,13 @@ def ir_pcg(
     while resid > threshold and outer < max_outer:
         outer += 1
         rnorm = resid
-        # inner correction solve at reduced precision, relative to ||r||
-        inner = inner_solver.solve(
-            r.astype(jnp.float64), tol=inner_tol, maxiter=inner_maxiter,
-        )
+        # inner correction solve at reduced precision, relative to ||r||.
+        # HIGHEST keeps the f32 GEMMs true f32 (TPU default is bf16) — the
+        # context applies at trace time of the lazily-compiled chunk.
+        with jax.default_matmul_precision("highest"):
+            inner = inner_solver.solve(
+                r.astype(jnp.float64), tol=inner_tol, maxiter=inner_maxiter,
+            )
         inner_total += inner.num_iters
         inner_resids.append(inner.resid / max(rnorm, 1e-300))
         e = jnp.asarray(inner.x)
@@ -136,9 +140,12 @@ def ir_pcg_kernel(
     T32 = precon_T.astype(jnp.float32)
 
     def precon_lo_fn(T32, v):
-        v32 = v.astype(jnp.float32)
-        out = (v32 - T32.T @ (T32 @ v32)) / jnp.float32(lam)
-        return out.astype(jnp.float64)
+        # HIGHEST: the TPU f32 matmul default is single-pass bf16, which
+        # would stack a second precision loss onto the f32 experiment
+        with jax.default_matmul_precision("highest"):
+            v32 = v.astype(jnp.float32)
+            out = (v32 - T32.T @ (T32 @ v32)) / jnp.float32(lam)
+            return out.astype(jnp.float64)
 
     return ir_pcg(
         matvec_hi=(lambda c, v: knl.matvec_psd(c, v), cache64),

@@ -1,0 +1,68 @@
+"""Time-to-solution benchmark at the paper's n = 31,400 scale.
+
+Trains an ethanol-shaped system (n_train = 1166, n = 31,482) to the
+production tolerance with the rule-of-thumb preconditioner rank and reports
+wall-clock phase times.  Reference comparison: data/rule_of_thumb.csv row 0
+records 0.8 min optimal PCG solve time for ethanol at n = 31,400 on a
+cluster GPU/CPU node.
+
+Usage: python tools/bench_time_to_solution.py [--n-train 1166]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, "/root/repo")
+
+from mlff_tpu.data.synthetic import make_dataset  # noqa: E402
+from mlff_tpu.experiments.rule_of_thumb import get_params, rule_of_thumb  # noqa: E402
+from mlff_tpu.models.gdml import Trainer  # noqa: E402
+from mlff_tpu.models.task import create_task  # noqa: E402
+
+REFERENCE_MIN = 0.8  # minutes, rule_of_thumb.csv row 0 (ethanol, n=31,400)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-train", type=int, default=1166)
+    p.add_argument("--sig", type=float, default=5.0)
+    args = p.parse_args()
+
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    ds = make_dataset("ethanol", n_samples=args.n_train + 60, seed=11)
+    task = create_task(ds, args.n_train, ds, n_valid=50, sig=args.sig,
+                       solver="cg", use_sym=False)
+    n = int(np.asarray(task["F_train"]).size)
+    m, k_unity, _ = get_params("ethanol")
+    k_rot = rule_of_thumb(n, k_unity, m)
+    print(f"n = {n}, rule-of-thumb k = {k_rot}", file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    model = Trainer().train(
+        task, n_columns=k_rot, str_preconditioner="lev_random",
+    )
+    total = time.perf_counter() - t0
+    out = {
+        "metric": "time_to_solution_ethanol_n31482",
+        "value": round(total, 2),
+        "unit": "s",
+        "converged": bool(model["is_conv"]),
+        "iters": int(model["solver_iters"]),
+        "k": k_rot,
+        "t_preconditioner_s": round(float(model.get("total_time_preconditioner", np.nan)), 2),
+        "t_cg_s": round(float(model.get("total_time_cg", np.nan)), 2),
+        "vs_reference_0.8min": round(REFERENCE_MIN * 60 / total, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
