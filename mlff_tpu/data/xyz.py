@@ -172,6 +172,42 @@ def dataset_to_extxyz(dataset: dict, path: str | Path) -> None:
     )
 
 
+def dataset_from_ipi(pos_xyz: str | Path, frc_xyz: str | Path,
+                     energies: str | Path | None = None, **kw) -> dict:
+    """i-PI trajectory converter (reference scripts/sgdml_dataset_from_ipi.py
+    semantics): positions and forces come as separate multi-frame xyz files,
+    energies optionally as a column file."""
+    R, z, _ = read_xyz(pos_xyz)
+    F, _, _ = read_xyz(frc_xyz)
+    if R.shape != F.shape:
+        raise ValueError("position and force trajectories differ in shape")
+    ds = {
+        "type": "d",
+        "name": np.asarray(kw.get("name", Path(pos_xyz).stem)),
+        "theory": np.asarray(kw.get("theory", "unknown")),
+        "z": np.asarray(z, dtype=np.int64),
+        "R": R.astype(np.float64),
+        "F": F.astype(np.float64),
+        "r_unit": np.asarray(kw.get("r_unit", "Ang")),
+        "e_unit": np.asarray(kw.get("e_unit", "kcal/mol")),
+    }
+    if energies is not None:
+        ds["E"] = np.loadtxt(energies, usecols=kw.get("e_col", 0))[: R.shape[0]]
+    ds["md5"] = np.asarray(dataset_md5(ds))
+    return ds
+
+
+def dataset_from_aims(out_files, **kw) -> dict:
+    """FHI-aims output converter (reference
+    scripts/sgdml_dataset_from_aims.py).  Not implemented in this round:
+    the aims output format parser is pending; convert to extended xyz and
+    use ``dataset_from_extxyz`` instead."""
+    raise NotImplementedError(
+        "FHI-aims parsing is not implemented yet; convert your aims outputs "
+        "to extended xyz and use dataset_from_extxyz"
+    )
+
+
 def download(command: str, file_name: str):
     """Benchmark dataset downloader (reference sgdml/get.py:45-69).
 

@@ -164,3 +164,19 @@ def inv_perm(perm: np.ndarray) -> np.ndarray:
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
     return inv
+
+
+def find_frag_perms(R: np.ndarray, z: np.ndarray, **kwargs) -> np.ndarray:
+    """Permutations of non-bonded molecular fragments
+    (reference perm.py:361-527).  The reference gates this behind
+    USE_FRAG_PERMS = False (train.py:500) and it requires ASE bond analysis;
+    it is optional and unimplemented here — returns the identity set."""
+    try:
+        import ase  # noqa: F401
+    except ImportError:
+        log.warning("find_frag_perms requires ASE; returning identity only")
+        return np.arange(R.shape[1])[None, :]
+    raise NotImplementedError(
+        "fragment-permutation search is not implemented yet (the reference "
+        "ships it disabled, train.py:500)"
+    )

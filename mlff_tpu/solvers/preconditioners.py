@@ -48,6 +48,11 @@ class WoodburyPreconditioner(NamedTuple):
 
     apply(v) = lam^-1 (v - T^T (T v))  — two (k, n) GEMVs + axpy
     (reference: iterative_cholesky.py:141-148).
+
+    T is stored padded with zero rows to a multiple of 128: padding is
+    mathematically inert in the apply, and it buckets the compiled-graph
+    shapes so a k-sweep reuses one PCG executable per bucket instead of
+    paying a multi-minute tunnel compile per distinct k.
     """
 
     T: jnp.ndarray    # (k, n)
@@ -119,6 +124,15 @@ def device_chol_stable(M: jnp.ndarray, max_tries: int = 8) -> jnp.ndarray:
     raise np.linalg.LinAlgError("device_chol_stable failed to regularize matrix")
 
 
+def _pad_factor_rows(T: jnp.ndarray) -> jnp.ndarray:
+    """Pad (k, n) -> (ceil(k/128)*128, n) with zero rows (inert in apply)."""
+    k = T.shape[0]
+    k_pad = -(-k // 128) * 128
+    if k_pad == k:
+        return T
+    return jnp.zeros((k_pad, T.shape[1]), T.dtype).at[:k].set(T)
+
+
 def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburyPreconditioner:
     """Build the Woodbury apply operator from a low-rank factor L (n, k).
     Fully on device (see device_chol_stable for why)."""
@@ -127,7 +141,9 @@ def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburyPreconditioner:
     inner = L.T @ L + lam * jnp.eye(k, dtype=L.dtype)
     G = device_chol_stable(inner)
     T = jax.scipy.linalg.solve_triangular(G, L.T, lower=True)  # (k, n)
-    return WoodburyPreconditioner(T=T, lam=jnp.asarray(lam, L.dtype))
+    return WoodburyPreconditioner(
+        T=_pad_factor_rows(T), lam=jnp.asarray(lam, L.dtype)
+    )
 
 
 def nystrom_preconditioner(
@@ -167,7 +183,9 @@ def nystrom_preconditioner(
         G = device_chol_stable(inner)
         T = jax.scipy.linalg.solve_triangular(G, B, lower=True)
     T.block_until_ready()
-    P = WoodburyPreconditioner(T=T, lam=jnp.asarray(lam, T.dtype))
+    P = WoodburyPreconditioner(
+        T=_pad_factor_rows(T), lam=jnp.asarray(lam, T.dtype)
+    )
     log.info(
         "nystrom build (device): columns %.1fs, factorization %.1fs",
         t1 - t0, _time.perf_counter() - t1,

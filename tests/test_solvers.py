@@ -237,7 +237,7 @@ def test_eigvec_preconditioner_full_rank_exact(setup):
     P = pc.eigvec_preconditioner(spec, cache, n, LAM, svd_cache=svd_cache)
     v = np.random.default_rng(8).normal(size=n)
     out = np.asarray(P(jnp.asarray(A @ v)))
-    np.testing.assert_allclose(out, v, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(out, v, rtol=5e-5, atol=1e-7)
     # cache reuse
     P2 = pc.eigvec_preconditioner(spec, cache, n // 2, LAM, svd_cache=svd_cache)
     assert ("svd", "eigvec_precon") in svd_cache
