@@ -43,5 +43,8 @@ _cache_dir = os.environ.get(
 if _cache_dir.lower() != "off":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # keep source locations/tracebacks out of the lowered IR: they shift on
+    # every source edit and silently invalidate the persistent cache keys
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
 __version__ = "0.1.0"
