@@ -50,16 +50,20 @@ def main():
         task, n_columns=k_rot, str_preconditioner="lev_random",
     )
     total = time.perf_counter() - t0
+    t_pre = float(model.get("total_time_preconditioner", np.nan))
+    t_cg = float(model.get("total_time_cg", np.nan))
+    solver_s = t_pre + t_cg  # the reference's 0.8 min is solver-phase only
     out = {
         "metric": "time_to_solution_ethanol_n31482",
-        "value": round(total, 2),
+        "value": round(solver_s, 2),
         "unit": "s",
         "converged": bool(model["is_conv"]),
         "iters": int(model["solver_iters"]),
         "k": k_rot,
-        "t_preconditioner_s": round(float(model.get("total_time_preconditioner", np.nan)), 2),
-        "t_cg_s": round(float(model.get("total_time_cg", np.nan)), 2),
-        "vs_reference_0.8min": round(REFERENCE_MIN * 60 / total, 2),
+        "t_preconditioner_s": round(t_pre, 2),
+        "t_cg_s": round(t_cg, 2),
+        "wall_total_s": round(total, 2),
+        "vs_reference_0.8min": round(REFERENCE_MIN * 60 / solver_s, 2),
     }
     print(json.dumps(out))
 
