@@ -204,12 +204,12 @@ def _nystrom_factor_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, lam):
     m = K_nm.shape[1]
     K_mm = K_nm[idxs]
     eye = jnp.eye(m, dtype=K_nm.dtype)
-    # pre-jitter at 1e-12 of the spectral scale: strong enough that the
+    # pre-jitter at 1e-10 of the spectral scale: strong enough that the
     # near-singular K_mm of large inducing sets factorizes on the first try
     # (a failed NaN pass costs a full pipeline execution), weak enough to
     # leave the preconditioner quality untouched
     scale = jnp.max(jnp.abs(jnp.diagonal(K_mm)))
-    L_mm = jnp.linalg.cholesky(K_mm + (scale * 1e-12) * eye)
+    L_mm = jnp.linalg.cholesky(K_mm + (scale * 1e-10) * eye)
     B = jax.scipy.linalg.solve_triangular(L_mm, K_nm.T, lower=True)  # (m, n)
     inner = B @ B.T + lam * eye
     G = jnp.linalg.cholesky(inner)
@@ -277,7 +277,7 @@ def _lev_scores_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, lam):
     eye = jnp.eye(m, dtype=K_nm.dtype)
     K_mm = K_nm[idxs]
     scale = jnp.max(jnp.abs(jnp.diagonal(K_mm)))
-    L = jnp.linalg.cholesky(K_mm + (scale * 1e-12) * eye)
+    L = jnp.linalg.cholesky(K_mm + (scale * 1e-10) * eye)
     Bt = jax.scipy.linalg.solve_triangular(L, K_nm.T, lower=True)
     BBT = Bt @ Bt.T + lam * eye
     C = jnp.linalg.cholesky(BBT)

@@ -206,7 +206,7 @@ def test_nystrom_preconditioner_matches_dense_woodbury():
     K_nm = K[:, idxs]
     K_mm = K[np.ix_(idxs, idxs)]
     # match the builder's spectral-scale pre-jitter (preconditioners.py)
-    K_mm = K_mm + np.abs(np.diag(K_mm)).max() * 1e-12 * np.eye(m)
+    K_mm = K_mm + np.abs(np.diag(K_mm)).max() * 1e-10 * np.eye(m)
     P_dense = K_nm @ np.linalg.solve(K_mm, K_nm.T) + lam_big * np.eye(n)
     v = rng.normal(size=n)
     # the NumPy oracle itself solves through the ~1e10-conditioned K_mm, so
