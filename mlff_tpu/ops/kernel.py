@@ -482,6 +482,11 @@ def assemble_columns(
     uniq_points = np.unique(points)
     N = cache.n_train
 
+    # large-D molecules: the block paths inflate (D, 3A) Jacobians; switch
+    # to the inflation-free compressed path when that would blow memory
+    if spec.dim * T * 8 * max(4, cache.n_perms) > _INFLATION_BUDGET:
+        return assemble_columns_compressed(spec, cache, col_idxs)
+
     if len(uniq_points) > N // 3:
         # dense-ish column set: assemble wide row-tiles against ALL touched
         # points in one shot — large matmul-shaped ops instead of per-point
@@ -512,6 +517,84 @@ def assemble_columns(
     partial_idx = col_idxs % T
     cols = all_blocks[pt_pos, :, partial_idx]  # (k, n)
     return cols.T
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _columns_compressed_chunk(
+    spec_dim_i: int,
+    cache: KernelCache,
+    pts: jnp.ndarray,     # (C,) owning training point per column
+    atoms: jnp.ndarray,   # (C,) atom index of each column's partial
+    xyzs: jnp.ndarray,    # (C,) cartesian component of each partial
+) -> jnp.ndarray:
+    """Kernel columns without Jacobian inflation: (C, n).
+
+    For huge descriptors (nanotube: D = 68k, 3A = 1110) the block-assembly
+    path materializes (D, 3A) inflated Jacobians (~0.6 GB per point) and
+    OOMs.  Here the permuted Jacobian COLUMN t = (b, x) of point j is built
+    directly from the compressed form,
+        Jcol_p[q] = Jc[j, P[p, q], x] * S[P[p, q], b],
+    and the per-column contraction never forms anything larger than
+    (N, P, D).  Cost per column ~ N P D + N D A; use for large-D systems.
+    """
+    sig = cache.sig
+
+    def one(col):
+        j, b, x = col
+        Pj = cache.P_idx                                    # (P, D)
+        jcol = cache.Jc[j][Pj, x] * cache.S[Pj, b]          # (P, D)
+        Xt_j = cache.X[j][Pj]                               # (P, D)
+        delta = cache.X[:, None, :] - Xt_j[None, :, :]      # (N, P, D)
+        nrm = SQRT5 * jnp.linalg.norm(delta, axis=-1)       # (N, P)
+        base = (5.0 / (3.0 * sig**4)) * jnp.exp(-nrm / sig)
+        c_iso = (sig**2 + sig * nrm) * base
+        u = jnp.einsum("npd,pd->np", delta, jcol)           # (N, P)
+        G = (
+            jnp.einsum("np,pd->nd", c_iso, jcol)
+            - 5.0 * jnp.einsum("np,np,npd->nd", base, u, delta)
+        )                                                   # (N, D)
+        out = vec_dot_d_desc(cache.Jc, cache.S, G)          # (N, A, 3)
+        return out.reshape(-1)
+
+    cols = jnp.stack([pts, atoms, xyzs], axis=1)
+    return jax.lax.map(one, cols)                           # (C, n)
+
+
+def assemble_columns_compressed(
+    spec: DescriptorSpec,
+    cache: KernelCache,
+    col_idxs: np.ndarray,
+    chunk: int = 16,
+) -> jnp.ndarray:
+    """Inflation-free PSD kernel columns K[:, col_idxs] (n, k) for large-D
+    molecules (see _columns_compressed_chunk)."""
+    col_idxs = np.asarray(col_idxs)
+    T = spec.dim_i
+    pts = col_idxs // T
+    partial_idx = col_idxs % T
+    atoms = partial_idx // 3
+    xyzs = partial_idx % 3
+
+    outs = []
+    k = len(col_idxs)
+    for start in range(0, k, chunk):
+        sl = slice(start, start + chunk)
+        p, a, x = pts[sl], atoms[sl], xyzs[sl]
+        pad = chunk - len(p)
+        if pad and k > chunk:
+            p = np.concatenate([p, np.repeat(p[-1:], pad)])
+            a = np.concatenate([a, np.repeat(a[-1:], pad)])
+            x = np.concatenate([x, np.repeat(x[-1:], pad)])
+        blk = _columns_compressed_chunk(
+            T, cache, jnp.asarray(p), jnp.asarray(a), jnp.asarray(x)
+        )
+        outs.append(blk[: len(col_idxs[sl])])
+    return jnp.concatenate(outs, axis=0).T                  # (n, k)
+
+
+# Jacobian-inflation memory (bytes, f64) above which assemble_columns
+# switches to the inflation-free path.
+_INFLATION_BUDGET = int(2e8)
 
 
 @partial(jax.jit, static_argnums=(0,))

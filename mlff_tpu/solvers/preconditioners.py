@@ -171,17 +171,21 @@ def nystrom_preconditioner(
         K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
     K_nm.block_until_ready()
     t1 = _time.perf_counter()
-    # the whole factorization is ONE jitted graph: eager op-by-op execution
-    # through the TPU tunnel costs seconds of dispatch/compile latency per op
-    T, nan_flag = _nystrom_factor_fused(K_nm, jnp.asarray(inducing_idxs), lam)
-    if bool(nan_flag):
-        log.warning("fused nystrom factorization hit NaN; retrying robustly")
-        K_mm = K_nm[jnp.asarray(inducing_idxs), :]
-        L_mm = device_chol_stable(K_mm)
-        B = jax.scipy.linalg.solve_triangular(L_mm, K_nm.T, lower=True)
-        inner = B @ B.T + lam * jnp.eye(B.shape[0], dtype=B.dtype)
-        G = device_chol_stable(inner)
-        T = jax.scipy.linalg.solve_triangular(G, B, lower=True)
+    # two fused stages, each retried with escalating jitter passed as a
+    # TRACED argument - retries reuse the compiled graphs
+    idxs_dev = jnp.asarray(inducing_idxs)
+    B = None
+    for i in range(8):
+        B, flag = _nystrom_whiten_fused(K_nm, idxs_dev, jnp.asarray(10.0**i))
+        if not bool(flag):
+            break
+        log.warning("nystrom whiten NaN at jitter boost 1e%d; escalating", i)
+    T = None
+    for i in range(8):
+        T, flag = _nystrom_inner_fused(B, lam, jnp.asarray(10.0**i))
+        if not bool(flag):
+            break
+        log.warning("nystrom inner NaN at boost 1e%d; escalating", i)
     T.block_until_ready()
     P = WoodburyPreconditioner(
         T=_pad_factor_rows(T), lam=jnp.asarray(lam, T.dtype)
@@ -194,32 +198,33 @@ def nystrom_preconditioner(
 
 
 @jax.jit
-def _nystrom_factor_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, lam):
-    """Whiten + Woodbury factorization as one compiled graph.
+def _nystrom_whiten_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, boost):
+    """Stage 1: B = chol(K_mm + jitter)^-1 K_mn as one compiled graph.
 
-    A small spectral-scale jitter is added up front (the reference shifts
-    the diagonal by +-1e-15 unconditionally too, iterative_solver.py:576-579)
-    so the common path needs no host-side retry; a NaN flag is returned for
-    the rare fallback."""
+    Base jitter is 1e-10 of the spectral scale (the reference also shifts
+    the K_mm diagonal unconditionally, iterative_solver.py:576-579, and the
+    measured quality cost is ~1 CG iteration); ``boost`` multiplies it on
+    NaN retries without recompiling."""
     m = K_nm.shape[1]
     K_mm = K_nm[idxs]
     eye = jnp.eye(m, dtype=K_nm.dtype)
-    # pre-jitter at 1e-10 of the spectral scale: strong enough that the
-    # near-singular K_mm of large inducing sets factorizes on the first try
-    # (a failed NaN pass costs a full pipeline execution), weak enough to
-    # leave the preconditioner quality untouched
     scale = jnp.max(jnp.abs(jnp.diagonal(K_mm)))
-    L_mm = jnp.linalg.cholesky(K_mm + (scale * 1e-10) * eye)
+    L_mm = jnp.linalg.cholesky(K_mm + (scale * 1e-10 * boost) * eye)
     B = jax.scipy.linalg.solve_triangular(L_mm, K_nm.T, lower=True)  # (m, n)
-    inner = B @ B.T + lam * eye
-    G = jnp.linalg.cholesky(inner)
+    return B, jnp.isnan(jnp.sum(B))
+
+
+@jax.jit
+def _nystrom_inner_fused(B: jnp.ndarray, lam, boost):
+    """Stage 2: T = chol(B B^T + lam I)^-1 B as one compiled graph."""
+    m = B.shape[0]
+    eye = jnp.eye(m, dtype=B.dtype)
+    inner = B @ B.T
+    scale = jnp.max(jnp.abs(jnp.diagonal(inner)))
+    reg = lam + jnp.where(boost > 1.0, scale * 1e-14 * boost, 0.0)
+    G = jnp.linalg.cholesky(inner + reg * eye)
     T = jax.scipy.linalg.solve_triangular(G, B, lower=True)          # (m, n)
     return T, jnp.isnan(jnp.sum(T))
-
-
-# ---------------------------------------------------------------------------
-# Column-selection strategies
-# ---------------------------------------------------------------------------
 
 
 def select_random(n: int, k: int, rng: np.random.Generator) -> np.ndarray:

@@ -1,0 +1,55 @@
+"""Inflation-free column assembly: parity with the block path and viability
+at nanotube-scale descriptor dimensions."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlff_tpu.data.synthetic import make_dataset
+from mlff_tpu.ops import descriptor as dsc
+from mlff_tpu.ops import kernel as knl
+
+
+def _setup(n_atoms, n_train, perms=None, sig=10.0, lam=1e-10, seed=0):
+    rng = np.random.default_rng(seed)
+    R = rng.normal(size=(n_train, n_atoms, 3)) * 1.5
+    spec = dsc.make_spec(n_atoms)
+    S = dsc.incidence_matrix(spec)
+    X, Jc = dsc.descriptors_from_R(spec, jnp.asarray(R))
+    if perms is None:
+        perms = np.arange(n_atoms)[None, :]
+    P_idx = jnp.asarray(dsc.desc_perms(perms))
+    return spec, knl.build_cache(X, Jc, S, P_idx, sig, lam)
+
+
+def test_compressed_matches_block_path():
+    n_atoms = 5
+    invol = np.arange(n_atoms)
+    invol[0], invol[1] = 1, 0
+    perms = np.stack([np.arange(n_atoms), invol])
+    spec, cache = _setup(n_atoms, 9, perms=perms)
+    n = cache.n
+    idxs = np.sort(np.random.default_rng(1).choice(n, 13, replace=False))
+    block = np.asarray(knl.assemble_columns(spec, cache, idxs))
+    comp = np.asarray(knl.assemble_columns_compressed(spec, cache, idxs, chunk=4))
+    np.testing.assert_allclose(comp, block, rtol=1e-9, atol=1e-12)
+
+
+def test_large_descriptor_triggers_compressed_path():
+    """d=88 with enough perms exceeds the inflation budget; the dispatch in
+    assemble_columns must route to the compressed path and stay correct."""
+    n_atoms = 88
+    spec, cache = _setup(n_atoms, 4, sig=10.0)
+    # check the dispatch condition arithmetic at nanotube scale
+    nano = dsc.make_spec(370)
+    assert nano.dim * nano.dim_i * 8 * 4 > knl._INFLATION_BUDGET
+
+    n = cache.n
+    idxs = np.sort(np.random.default_rng(2).choice(n, 6, replace=False))
+    comp = np.asarray(knl.assemble_columns_compressed(spec, cache, idxs, chunk=3))
+    # validate against matvec unit vectors (block path also works at d=88)
+    for i, c in enumerate(idxs):
+        e = jnp.zeros(n).at[int(c)].set(1.0)
+        col = np.array(knl.matvec_psd(cache, e))  # writable copy
+        col[int(c)] -= 1e-10  # matvec includes the ridge
+        np.testing.assert_allclose(comp[:, i], col, rtol=1e-8, atol=1e-11)
