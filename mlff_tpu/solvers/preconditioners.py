@@ -180,12 +180,17 @@ def nystrom_preconditioner(
         if not bool(flag):
             break
         log.warning("nystrom whiten NaN at jitter boost 1e%d; escalating", i)
-    T = None
-    for i in range(8):
-        T, flag = _nystrom_inner_fused(B, lam, jnp.asarray(10.0**i))
+    inner = _nystrom_inner_gram(B)   # expensive (m^2 n) Gram, computed once
+    G = None
+    for i in range(14):
+        # fine ladder: chol-only retries are cheap (stage 2a is not re-run),
+        # and the smallest working regularization gives the best quality
+        G, flag = _chol_with_reg(inner, lam, jnp.asarray(10.0**i))
         if not bool(flag):
             break
-        log.warning("nystrom inner NaN at boost 1e%d; escalating", i)
+        if i > 4:
+            log.warning("nystrom inner chol NaN at boost 1e%d; escalating", i)
+    T = _trsm_fused(G, B)
     T.block_until_ready()
     P = WoodburyPreconditioner(
         T=_pad_factor_rows(T), lam=jnp.asarray(lam, T.dtype)
@@ -215,16 +220,34 @@ def _nystrom_whiten_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, boost):
 
 
 @jax.jit
-def _nystrom_inner_fused(B: jnp.ndarray, lam, boost):
-    """Stage 2: T = chol(B B^T + lam I)^-1 B as one compiled graph."""
-    m = B.shape[0]
-    eye = jnp.eye(m, dtype=B.dtype)
-    inner = B @ B.T
+def _nystrom_inner_gram(B: jnp.ndarray) -> jnp.ndarray:
+    """Stage 2a: the (m, m) Gram matrix B B^T — the expensive piece, run
+    exactly once (retrying it with the chol cost ~50x cheaper was the
+    dominant waste of the NaN-escalation ladder)."""
+    return B @ B.T
+
+
+@jax.jit
+def _chol_with_reg(inner: jnp.ndarray, lam, boost):
+    """Stage 2b: chol(inner + reg I) with a traced escalation boost.
+
+    Base regularization is lam; on retry the whitened Gram's spectral scale
+    enters at 1e-14 * boost (roundoff makes the PSD Gram slightly indefinite
+    at magnitude ~eps * ||B B^T||, which for near-singular whitening exceeds
+    lam by orders of magnitude; the reference's _cho_factor_stable ladders
+    identically, iterative_solver.py:600-618)."""
+    m = inner.shape[0]
+    eye = jnp.eye(m, dtype=inner.dtype)
     scale = jnp.max(jnp.abs(jnp.diagonal(inner)))
-    reg = lam + jnp.where(boost > 1.0, scale * 1e-14 * boost, 0.0)
+    reg = lam + jnp.where(boost > 1.0, scale * 1e-16 * boost, 0.0)
     G = jnp.linalg.cholesky(inner + reg * eye)
-    T = jax.scipy.linalg.solve_triangular(G, B, lower=True)          # (m, n)
-    return T, jnp.isnan(jnp.sum(T))
+    return G, jnp.isnan(G[-1, -1])
+
+
+@jax.jit
+def _trsm_fused(G: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Stage 2c: T = G^-1 B."""
+    return jax.scipy.linalg.solve_triangular(G, B, lower=True)
 
 
 def select_random(n: int, k: int, rng: np.random.Generator) -> np.ndarray:
@@ -277,7 +300,7 @@ def leverage_scores(
 @jax.jit
 def _lev_scores_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, lam):
     """Whiten + ridge leverage scores as one compiled graph (same rationale
-    as _nystrom_factor_fused)."""
+    as the nystrom fused stages)."""
     m = K_nm.shape[1]
     eye = jnp.eye(m, dtype=K_nm.dtype)
     K_mm = K_nm[idxs]
