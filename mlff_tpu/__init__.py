@@ -48,3 +48,23 @@ if _cache_dir.lower() != "off":
     jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import mlff_tpu` light)."""
+    if name == "Trainer":
+        from .models.gdml import Trainer
+        return Trainer
+    if name == "Predictor":
+        from .models.predict import Predictor
+        return Predictor
+    if name == "create_task":
+        from .models.task import create_task
+        return create_task
+    if name == "make_dataset":
+        from .data.synthetic import make_dataset
+        return make_dataset
+    if name == "evaluate":
+        from .models.evaluate import evaluate
+        return evaluate
+    raise AttributeError(name)
