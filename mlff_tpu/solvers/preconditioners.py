@@ -241,7 +241,8 @@ def _chol_with_reg(inner: jnp.ndarray, lam, boost):
     scale = jnp.max(jnp.abs(jnp.diagonal(inner)))
     reg = lam + jnp.where(boost > 1.0, scale * 1e-16 * boost, 0.0)
     G = jnp.linalg.cholesky(inner + reg * eye)
-    return G, jnp.isnan(G[-1, -1])
+    # full-matrix NaN check: the last pivot alone missed NaNs in practice
+    return G, jnp.isnan(jnp.sum(G))
 
 
 @jax.jit
