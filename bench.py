@@ -66,14 +66,21 @@ def main():
     log(f"cache built in {time.perf_counter() - t0:.2f}s  "
         f"(n={cache.n}, M={cache.Xqt.shape[0]}, D={spec.dim})")
 
-    # Nystrom preconditioner at the rule-of-thumb-ish k/n = 10%
+    # Woodbury preconditioner with k/n = 10%.  The factor values are
+    # synthetic: the benchmark metric is time PER CG ITERATION, which
+    # depends only on the operator shapes (matvec + two (k, n) contractions
+    # + vector ops), not on the factor's numerical content.  Real
+    # preconditioner-build times are measured separately
+    # (tools/bench_time_to_solution.py, RESULTS.md) — building here would
+    # couple the timing metric to multi-minute remote-compile variance.
     t0 = time.perf_counter()
     k = int(0.10 * cache.n)
     rng = np.random.default_rng(0)
-    inducing = pc.select_random(cache.n, k, rng)
-    P = pc.nystrom_preconditioner(spec, cache, inducing, LAM)
-    P.T.block_until_ready()
-    log(f"nystrom preconditioner (k={k}) built in {time.perf_counter() - t0:.2f}s")
+    T = jnp.asarray(rng.normal(size=(k, cache.n)) / np.sqrt(cache.n))
+    P = pc.WoodburyPreconditioner(
+        T=pc._pad_factor_rows(T), lam=jnp.asarray(LAM)
+    )
+    log(f"woodbury operator (k={k}) set up in {time.perf_counter() - t0:.2f}s")
 
     y = np.asarray(ds["F"], dtype=np.float64).ravel()
     y /= y.std()
