@@ -152,14 +152,31 @@ def nystrom_preconditioner(
     inducing_idxs: np.ndarray,
     lam: float,
     use_E_cstr: bool = False,
+    method: str = "eigh",
+    rank_tol: float = 1e-10,
 ) -> WoodburyPreconditioner:
     """Nyström preconditioner from a column subset, whitened form.
 
-    P = K_nm K_mm^-1 K_mn + lam I, built as L = K_nm chol(K_mm)^-T so that
-    P = L L^T + lam I (the numerically stable variant the reference uses in
-    both its operators, iterative_solver.py:218-254 and 370-374).
+    P = K_nm K_mm^+ K_mn + lam I, applied through the Woodbury identity
+    (the numerically stable variant the reference uses in both its
+    operators, iterative_solver.py:218-254 and 370-374).
     With ``use_E_cstr`` the columns span the energy-constrained system
     (inducing points restricted to force columns).
+
+    ``method``:
+      * 'eigh' (default) — deterministic rank-revealing factorization: both
+        m x m decompositions (K_mm whitening and the whitened Gram) run as
+        host LAPACK eigendecompositions with eigenvalue clamping at
+        ``rank_tol`` * lambda_max, i.e. pseudo-inverse whitening.  No jitter
+        ladders, no NaN retries, and the O(m^2 n) device work is two GEMMs
+        (no triangular solve).  Replaces the reference's escalating-jitter
+        `_cho_factor_stable` (iterative_solver.py:554-618), whose
+        regularization level measurably swings PCG iteration counts (2.3k-9k
+        at n=31k, k=2k) — the clamp only discards eigendirections below the
+        device-assembly noise floor (~1e-10 relative under TPU f64-emulated
+        matmuls) instead of shifting the whole spectrum.
+      * 'chol' — the previous fused Cholesky path with escalating traced
+        jitter (reference-semantics ladder); kept for A/B comparison.
     """
     import time as _time
 
@@ -171,8 +188,74 @@ def nystrom_preconditioner(
         K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
     K_nm.block_until_ready()
     t1 = _time.perf_counter()
-    # two fused stages, each retried with escalating jitter passed as a
-    # TRACED argument - retries reuse the compiled graphs
+    if method == "eigh":
+        T = _nystrom_factor_eigh(K_nm, inducing_idxs, lam, rank_tol)
+    elif method == "chol":
+        T = _nystrom_factor_chol(K_nm, inducing_idxs, lam)
+    else:
+        raise ValueError(f"unknown nystrom method {method!r}")
+    T.block_until_ready()
+    P = WoodburyPreconditioner(
+        T=_pad_factor_rows(T), lam=jnp.asarray(lam, T.dtype)
+    )
+    log.info(
+        "nystrom build (%s): columns %.1fs, factorization %.1fs",
+        method, t1 - t0, _time.perf_counter() - t1,
+    )
+    return P
+
+
+def _nystrom_factor_eigh(
+    K_nm: jnp.ndarray, inducing_idxs: np.ndarray, lam: float, rank_tol: float
+) -> jnp.ndarray:
+    """Deterministic T = (W2^T B) with B = W1^T K_mn, via two host eighs.
+
+    W1 = V1 diag(w1^-1/2 clamped)  (K_mm = V1 w1 V1^T, pseudo-inverse whiten)
+    W2 = V2 diag((max(w2,0)+lam)^-1/2)  (B B^T = V2 w2 V2^T)
+
+    so T^T T = B^T (B B^T + lam I)^+ B exactly — the Woodbury inner solve in
+    its eigenbasis, immune to the near-singularity that makes chol(B B^T)
+    fail.  Only the two m x m matrices cross the host boundary (measured
+    ~16 MB/s through the TPU tunnel; 33 MB each way at m=2048); the
+    O(m^2 n) work stays on device as GEMMs.  On-device eigh is not an
+    option: QDWH-eig under f64 emulation takes 292 s to COMPILE at m=512.
+    """
+    idxs_dev = jnp.asarray(inducing_idxs)
+    K_mm = np.asarray(_gather_rows(K_nm, idxs_dev))        # d2h (m, m)
+    w1, V1 = scipy.linalg.eigh(K_mm)
+    tol1 = max(w1[-1], 0.0) * rank_tol
+    w1_isqrt = np.where(w1 > tol1, 1.0 / np.sqrt(np.maximum(w1, tol1)), 0.0)
+    W1 = jnp.asarray(V1 * w1_isqrt[None, :])               # h2d (m, m)
+    B, inner = _whiten_and_gram(W1, K_nm)                  # device GEMMs
+    w2, V2 = scipy.linalg.eigh(np.asarray(inner))          # d2h (m, m)
+    s2 = 1.0 / np.sqrt(np.maximum(w2, 0.0) + lam)
+    W2 = jnp.asarray(V2 * s2[None, :])                     # h2d (m, m)
+    return _project_factor(W2, B)
+
+
+@jax.jit
+def _gather_rows(K_nm: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
+    return K_nm[idxs]
+
+
+@jax.jit
+def _whiten_and_gram(W1: jnp.ndarray, K_nm: jnp.ndarray):
+    """B = W1^T K_mn (m, n) and its Gram B B^T (m, m), one compiled graph."""
+    B = W1.T @ K_nm.T
+    return B, B @ B.T
+
+
+@jax.jit
+def _project_factor(W2: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    return W2.T @ B
+
+
+def _nystrom_factor_chol(
+    K_nm: jnp.ndarray, inducing_idxs: np.ndarray, lam: float
+) -> jnp.ndarray:
+    """Previous fused-Cholesky path: two stages, each retried with an
+    escalating jitter passed as a TRACED argument so retries reuse the
+    compiled graphs."""
     idxs_dev = jnp.asarray(inducing_idxs)
     B = None
     for i in range(8):
@@ -190,16 +273,7 @@ def nystrom_preconditioner(
             break
         if i > 4:
             log.warning("nystrom inner chol NaN at boost 1e%d; escalating", i)
-    T = _trsm_fused(G, B)
-    T.block_until_ready()
-    P = WoodburyPreconditioner(
-        T=_pad_factor_rows(T), lam=jnp.asarray(lam, T.dtype)
-    )
-    log.info(
-        "nystrom build (device): columns %.1fs, factorization %.1fs",
-        t1 - t0, _time.perf_counter() - t1,
-    )
-    return P
+    return _trsm_fused(G, B)
 
 
 @jax.jit
@@ -283,36 +357,17 @@ def leverage_scores(
         lev_approx_idxs = np.sort(idxs_ordered_by_lev_score[-dim_m:])
 
     K_nm = knl.assemble_columns(spec, cache, lev_approx_idxs)  # (n, m)
-    # single fused on-device pipeline; only the (n,) score vector transfers
-    lev_dev, nan_flag = _lev_scores_fused(K_nm, jnp.asarray(lev_approx_idxs), lam)
-    if bool(nan_flag):
-        log.warning("fused leverage-score pipeline hit NaN; retrying robustly")
-        K_mm = K_nm[jnp.asarray(lev_approx_idxs), :]
-        L = device_chol_stable(K_mm)
-        Bt = jax.scipy.linalg.solve_triangular(L, K_nm.T, lower=True)
-        BBT = Bt @ Bt.T + lam * jnp.eye(Bt.shape[0], dtype=Bt.dtype)
-        C = device_chol_stable(BBT)
-        CB = jax.scipy.linalg.solve_triangular(C, Bt, lower=True)
-        lev_dev = jnp.sum(CB * CB, axis=0)
-    lev = np.asarray(lev_dev)
+    # ridge leverage scores are exactly the column sums-of-squares of the
+    # eigh-based Nyström factor T = (B B^T + lam I)^-1/2 B (see
+    # _nystrom_factor_eigh): deterministic, no chol ladder, no trsm
+    T = _nystrom_factor_eigh(K_nm, lev_approx_idxs, lam, rank_tol=1e-10)
+    lev = np.asarray(_colwise_sumsq(T))
     return lev, np.argsort(lev)
 
 
 @jax.jit
-def _lev_scores_fused(K_nm: jnp.ndarray, idxs: jnp.ndarray, lam):
-    """Whiten + ridge leverage scores as one compiled graph (same rationale
-    as the nystrom fused stages)."""
-    m = K_nm.shape[1]
-    eye = jnp.eye(m, dtype=K_nm.dtype)
-    K_mm = K_nm[idxs]
-    scale = jnp.max(jnp.abs(jnp.diagonal(K_mm)))
-    L = jnp.linalg.cholesky(K_mm + (scale * 1e-10) * eye)
-    Bt = jax.scipy.linalg.solve_triangular(L, K_nm.T, lower=True)
-    BBT = Bt @ Bt.T + lam * eye
-    C = jnp.linalg.cholesky(BBT)
-    CB = jax.scipy.linalg.solve_triangular(C, Bt, lower=True)
-    lev = jnp.sum(CB * CB, axis=0)
-    return lev, jnp.isnan(jnp.sum(lev))
+def _colwise_sumsq(T: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(T * T, axis=0)
 
 
 def select_by_leverage(

@@ -182,13 +182,14 @@ def test_pivoted_cholesky_reconstruction_error_bound(setup):
 
 
 def test_nystrom_preconditioner_matches_dense_woodbury():
-    """Nyström operator equals the dense inverse of K_nm K_mm^-1 K_mn + lam I
-    (computed independently in NumPy).  A healthy lam keeps the comparison
-    well-posed; the formula under test is lam-independent."""
+    """Nyström operator equals the dense inverse of K_nm K_mm^+ K_mn + lam I
+    (computed independently in NumPy), for both factorization methods, each
+    against the oracle with its own regularization semantics."""
     lam_big = 1e-4
     rng = np.random.default_rng(11)
     n_atoms, n_train = 4, 10
     import jax.numpy as jnp_
+    import scipy.linalg
     from mlff_tpu.ops import descriptor as dsc_
     R = rng.normal(size=(n_train, n_atoms, 3)) * 1.5
     spec = dsc_.make_spec(n_atoms)
@@ -200,19 +201,31 @@ def test_nystrom_preconditioner_matches_dense_woodbury():
     n = cache.n
     m = n // 3
     idxs = np.sort(rng.choice(n, m, replace=False))
-    P = pc.nystrom_preconditioner(spec, cache, idxs, lam_big)
-
     K = np.asarray(knl.assemble_full(spec, cache))
     K_nm = K[:, idxs]
     K_mm = K[np.ix_(idxs, idxs)]
-    # match the builder's spectral-scale pre-jitter (preconditioners.py)
-    K_mm = K_mm + np.abs(np.diag(K_mm)).max() * 1e-10 * np.eye(m)
-    P_dense = K_nm @ np.linalg.solve(K_mm, K_nm.T) + lam_big * np.eye(n)
     v = rng.normal(size=n)
+
+    # eigh method: oracle uses the same clamped pseudo-inverse of K_mm
+    rank_tol = 1e-10
+    P = pc.nystrom_preconditioner(spec, cache, idxs, lam_big,
+                                  method="eigh", rank_tol=rank_tol)
+    w, V = scipy.linalg.eigh(K_mm)
+    w_inv = np.where(w > w[-1] * rank_tol, 1.0 / np.maximum(w, w[-1] * rank_tol), 0.0)
+    P_dense = K_nm @ (V * w_inv[None, :]) @ V.T @ K_nm.T + lam_big * np.eye(n)
+    np.testing.assert_allclose(
+        np.asarray(P(jnp.asarray(v))), np.linalg.solve(P_dense, v),
+        rtol=1e-4, atol=1e-6 * np.abs(v).max() / lam_big,
+    )
+
+    # chol method: oracle uses the builder's spectral-scale pre-jitter
+    P2 = pc.nystrom_preconditioner(spec, cache, idxs, lam_big, method="chol")
+    K_mm_j = K_mm + np.abs(np.diag(K_mm)).max() * 1e-10 * np.eye(m)
+    P_dense2 = K_nm @ np.linalg.solve(K_mm_j, K_nm.T) + lam_big * np.eye(n)
     # the NumPy oracle itself solves through the ~1e10-conditioned K_mm, so
     # only ~6 digits of the comparison are meaningful
     np.testing.assert_allclose(
-        np.asarray(P(jnp.asarray(v))), np.linalg.solve(P_dense, v),
+        np.asarray(P2(jnp.asarray(v))), np.linalg.solve(P_dense2, v),
         rtol=1e-4, atol=1e-6 * np.abs(v).max() / lam_big,
     )
 
