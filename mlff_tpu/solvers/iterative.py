@@ -28,7 +28,9 @@ from ..ops.descriptor import DescriptorSpec
 from ..utils.log import get_logger
 from . import preconditioners as pc
 from .cg import pcg
-from .pivoted_cholesky import block_rp_cholesky, pivoted_cholesky
+from .pivoted_cholesky import (
+    block_rp_cholesky, panel_pivoted_cholesky, pivoted_cholesky,
+)
 
 log = get_logger(__name__)
 
@@ -38,8 +40,8 @@ LEV_STRATEGIES = (
     "rank_k_lev_scores", "rank_k_lev_scores_custom",
 )
 ALL_STRATEGIES = LEV_STRATEGIES + (
-    "cholesky", "rpcholesky", "eigvec_precon", "eigvec_precon_block_diagonal",
-    "eigvec_precon_atomic_interactions",
+    "cholesky", "cholesky_panel", "rpcholesky", "eigvec_precon",
+    "eigvec_precon_block_diagonal", "eigvec_precon_atomic_interactions",
 )
 
 
@@ -81,6 +83,14 @@ def build_preconditioner(
         res, info_chol = pivoted_cholesky(spec, cache, max_rank=k)
         P = pc.woodbury_from_factor(res.L, lam)
         inducing = np.arange(k)  # reference uses a size marker here
+        info.update(info_chol)
+
+    elif strategy == "cholesky_panel":
+        # greedy panel variant: top-`block` residual-diagonal pivots per
+        # round, rank-block GEMM updates (TPU-shaped; SURVEY.md §7.4.1)
+        res, info_chol = panel_pivoted_cholesky(spec, cache, max_rank=k)
+        P = pc.woodbury_from_factor(res.L, lam)
+        inducing = np.sort(np.asarray(info_chol["pivots"]))
         info.update(info_chol)
 
     elif strategy == "rpcholesky":

@@ -28,6 +28,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.linalg
 
 from ..ops import kernel as knl
 from ..ops.descriptor import DescriptorSpec
@@ -210,6 +211,127 @@ def block_rp_cholesky(
         "block": block,
     }
     return res, info
+
+
+def panel_pivoted_cholesky(
+    spec: DescriptorSpec,
+    cache: knl.KernelCache,
+    max_rank: int,
+    block: int = 128,
+    accept_tol: float = 0.25,
+    diag: jnp.ndarray | None = None,
+) -> tuple[PivotedCholeskyResult, dict]:
+    """Greedy *panel* pivoted Cholesky of (K + lam I).
+
+    Each round takes the ``block`` largest entries of the residual diagonal
+    as *candidates* (instead of one, like the exact greedy loop of
+    ``pivoted_cholesky``), assembles those columns in one batched call,
+    Schur-corrects them with a rank-``block`` GEMM, and then lets a host
+    LAPACK **pivoted** Cholesky (``?pstrf``) of the small candidate block
+    greedily order the candidates against each other — redundant candidates
+    (large diagonal but nearly dependent on an earlier pick of the same
+    round) get tiny within-block pivots and are dropped rather than
+    accepted.  This cuts the sequential depth by the block size — the
+    TPU-shaped answer to the inherently sequential reference algorithm
+    (incomplete_cholesky.py:50-81; SURVEY.md §7.4.1) — while deviating from
+    exact greedy order only through ranking staleness within one round
+    (quality measured in tests/test_rpcholesky.py).
+    """
+    t0 = time.perf_counter()
+    if diag is None:
+        diag = knl.kernel_diag(spec.dim_i, cache)
+    n = diag.shape[0]
+    dtype = diag.dtype
+
+    pivots_all: list[np.ndarray] = []
+    pvals_all: list[np.ndarray] = []
+    chosen = np.zeros(n, dtype=bool)
+    diag_host = np.asarray(diag)
+    eps_floor = float(diag_host.max()) * 1e-30
+
+    L = jnp.zeros((n, 0), dtype)
+    remaining = max_rank
+    while remaining > 0:
+        b = min(block, remaining)
+        masked = np.where(chosen, -np.inf, diag_host)
+        order = np.argsort(masked)[::-1][:b]
+        order = order[masked[order] > eps_floor]
+        if len(order) == 0:
+            break  # numerically exhausted
+        idx = np.sort(order)
+        b = len(idx)
+
+        cols = knl.assemble_columns(spec, cache, idx)        # (n, b), no ridge
+        cols = cols.at[jnp.asarray(idx), jnp.arange(b)].add(float(cache.lam))
+        corr = _schur_correct(L, cols, jnp.asarray(idx))     # (n, b)
+        A_ss = np.asarray(_gather_block(corr, jnp.asarray(idx)))  # (b, b)
+
+        # within-block greedy pivoting on host (b x b, negligible): keep the
+        # numerically independent prefix in pivot order
+        F, piv, rank, _ = scipy.linalg.lapack.dpstrf(A_ss, lower=1)
+        piv = piv - 1                                        # LAPACK is 1-based
+        # acceptance threshold: keep only within-block pivots at least
+        # ``accept_tol`` of the round's best — stale-ranked candidates whose
+        # residual collapsed after earlier picks of the same round are
+        # re-ranked next round instead of wasting rank budget (measured:
+        # keep-all costs ~2x greedy's CG iterations, accept_tol=0.25 is
+        # within ~20% at extreme k/n)
+        fdiag = np.diagonal(F)[:rank] ** 2
+        r = int(np.sum(fdiag >= fdiag[0] * accept_tol)) if rank > 0 else 0
+        if rank > 0:
+            r = max(r, 1)
+        if r == 0:
+            break
+        perm = piv[:r]
+        Fr = jnp.asarray(np.tril(F[:r, :r]))
+        Lb = _panel_solve(Fr, corr, jnp.asarray(perm))       # (n, r)
+
+        Lb_host_diag = np.asarray(jnp.sum(Lb * Lb, axis=1))
+        pvals_all.append(np.clip(diag_host[idx[perm]], 0, None))
+        diag_host = diag_host - Lb_host_diag
+        pivots_all.append(idx[perm])
+        chosen[idx[perm]] = True
+        L = jnp.concatenate([L, Lb], axis=1)
+        remaining -= r
+
+    pivots = np.concatenate(pivots_all) if pivots_all else np.zeros(0, int)
+    pvals = np.concatenate(pvals_all) if pvals_all else np.zeros(0)
+    res = PivotedCholeskyResult(
+        L=L,
+        pivots=jnp.asarray(pivots, jnp.int32),
+        pivot_values=jnp.asarray(pvals, dtype),
+        remaining_diag=jnp.asarray(diag_host, dtype),
+    )
+    elapsed = time.perf_counter() - t0
+    info = {
+        "time_cholesky": np.full(max(len(pivots), 1), elapsed / max(len(pivots), 1)),
+        "L.shape": tuple(L.shape),
+        "index_columns": _full_index_order(res, n),
+        "pivots": pivots,
+        "remaining_diag_error": float(np.abs(diag_host[~chosen]).sum()),
+        "total_time_cholesky_s": elapsed,
+        "block": block,
+    }
+    return res, info
+
+
+@jax.jit
+def _schur_correct(L: jnp.ndarray, cols: jnp.ndarray, idx: jnp.ndarray):
+    """cols -= L L[idx]^T — rank-k_cur correction of the candidate panel."""
+    return cols - L @ L[idx].T
+
+
+@jax.jit
+def _gather_block(corr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return corr[idx]
+
+
+@jax.jit
+def _panel_solve(Fr: jnp.ndarray, corr: jnp.ndarray, colperm: jnp.ndarray):
+    """Lb = corr[:, perm] Fr^-T for the kept within-block pivot prefix."""
+    return jax.scipy.linalg.solve_triangular(
+        Fr, corr[:, colperm].T, lower=True
+    ).T
 
 
 @jax.jit

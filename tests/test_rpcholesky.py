@@ -80,3 +80,69 @@ def test_rpcholesky_strategy_trains(ethanol_ds):
         dict(task), break_percentage=0.25, str_preconditioner="rpcholesky"
     )
     assert bool(model["is_conv"])
+
+
+def test_panel_factor_validity(setup):
+    from mlff_tpu.solvers.pivoted_cholesky import panel_pivoted_cholesky
+
+    spec, cache = setup
+    K = np.asarray(knl.assemble_full(spec, cache)) + LAM * np.eye(cache.n)
+    k = 64
+    res, info = panel_pivoted_cholesky(spec, cache, max_rank=k, block=16)
+    assert res.L.shape == (cache.n, k)
+    approx = np.asarray(res.L) @ np.asarray(res.L).T
+    err = np.linalg.norm(K - approx)
+    assert err < 5 * max(info["remaining_diag_error"], 1e-10)
+    piv = np.asarray(res.pivots)
+    assert len(set(piv.tolist())) == len(piv)
+
+
+def test_panel_quality_close_to_exact_greedy(setup):
+    """Greedy panel pivoting must track the exact greedy loop's CG iteration
+    count closely (the panel only skips intra-round diagonal re-ranking)."""
+    from mlff_tpu.solvers.pivoted_cholesky import panel_pivoted_cholesky
+
+    spec, cache = setup
+    n = cache.n
+    b = jnp.asarray(np.random.default_rng(5).normal(size=n))
+    k = n // 3
+    mv = lambda v: knl.matvec_psd(cache, v)
+
+    greedy, _ = pivoted_cholesky(spec, cache, max_rank=k)
+    res_g = pcg(mv, b, precon=pc.woodbury_from_factor(greedy.L, LAM),
+                tol=1e-4, maxiter=600)
+
+    panel, _ = panel_pivoted_cholesky(spec, cache, max_rank=k, block=16)
+    res_p = pcg(mv, b, precon=pc.woodbury_from_factor(panel.L, LAM),
+                tol=1e-4, maxiter=600)
+
+    assert res_g.converged and res_p.converged
+    assert res_p.num_iters <= 1.3 * res_g.num_iters + 5
+
+
+def test_panel_block_one_matches_exact_greedy_pivots(setup):
+    """block=1 degenerates to the exact greedy algorithm: same pivot order."""
+    from mlff_tpu.solvers.pivoted_cholesky import panel_pivoted_cholesky
+
+    spec, cache = setup
+    k = 24
+    greedy, _ = pivoted_cholesky(spec, cache, max_rank=k)
+    panel, _ = panel_pivoted_cholesky(spec, cache, max_rank=k, block=1)
+    np.testing.assert_array_equal(np.asarray(greedy.pivots),
+                                  np.asarray(panel.pivots))
+    # factors agree to roundoff (the fori_loop variant hard-zeroes chosen
+    # rows, the panel relies on exact cancellation — ~1e-8 differences)
+    np.testing.assert_allclose(np.asarray(greedy.L), np.asarray(panel.L),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cholesky_panel_strategy_trains(ethanol_ds):
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+
+    task = create_task(ethanol_ds, n_train=20, valid_dataset=ethanol_ds,
+                       n_valid=10, sig=5.0, solver="cg")
+    model = Trainer().train(
+        dict(task), break_percentage=0.25, str_preconditioner="cholesky_panel"
+    )
+    assert bool(model["is_conv"])
