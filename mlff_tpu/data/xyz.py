@@ -197,15 +197,100 @@ def dataset_from_ipi(pos_xyz: str | Path, frc_xyz: str | Path,
     return ds
 
 
-def dataset_from_aims(out_files, **kw) -> dict:
-    """FHI-aims output converter (reference
-    scripts/sgdml_dataset_from_aims.py).  Not implemented in this round:
-    the aims output format parser is pending; convert to extended xyz and
-    use ``dataset_from_extxyz`` instead."""
-    raise NotImplementedError(
-        "FHI-aims parsing is not implemented yet; convert your aims outputs "
-        "to extended xyz and use dataset_from_extxyz"
-    )
+# Hartree/eV over Hartree/(kcal/mol): the reference's eV -> kcal/mol factor
+# (scripts/sgdml_dataset_from_aims.py:37)
+_EV_TO_KCALMOL = 0.036749326 / 0.0015946679
+
+
+def dataset_from_aims(path: str | Path, name: str | None = None, **kw) -> dict:
+    """FHI-aims MD-output converter (reference
+    scripts/sgdml_dataset_from_aims.py semantics).
+
+    Scans an aims standard-output stream for the three per-step sections:
+
+      * ``The structure contains <A> atoms,  and a total of ...`` — atom count,
+      * ``Energy and forces in a compact form:`` — the next line's 6th token
+        is the total energy in eV,
+      * ``Total atomic forces (unitary forces cleaned) [eV/Ang]:`` — followed
+        by A rows of ``| i fx fy fz``,
+      * ``Atomic structure (and velocities) as used in the preceding time
+        step:`` — followed by ``atom x y z <species>`` rows.
+
+    Energies/forces are converted eV -> kcal/mol(/Ang); incomplete trailing
+    output is pruned to the shortest complete section, exactly like the
+    reference converter.
+    """
+    n_atoms = None
+    R: list = []
+    z: list = []
+    E: list = []
+    F: list = []
+    mode = None          # None | 'energy' | 'forces' | 'geometry'
+    a_count = 0
+    geo_idx = 0
+
+    with open(path) as fh:
+        for line in fh:
+            if n_atoms is None:
+                if "The structure contains" in line and "atoms,  and a total of" in line:
+                    n_atoms = int(line.split()[3])
+                continue
+            cols = line.split()
+            if mode == "energy":
+                E.append(float(cols[5]))
+                mode = None
+            elif mode == "forces":
+                F.append([float(c) for c in cols[2:5]])
+                if int(cols[1]) == n_atoms:
+                    mode = None
+            elif mode == "geometry":
+                if "atom" in cols:
+                    a_count += 1
+                    R.append([float(c) for c in cols[1:4]])
+                    if geo_idx == 0:
+                        z.append(str_to_z(cols[4]))
+                    if a_count == n_atoms:
+                        mode = None
+                        geo_idx += 1
+            elif "Energy and forces in a compact form:" in line:
+                mode = "energy"
+            elif "Total atomic forces (unitary forces cleaned) [eV/Ang]:" in line:
+                mode = "forces"
+            elif ("Atomic structure (and velocities) as used in the "
+                  "preceding time step:" in line):
+                mode = "geometry"
+                a_count = 0
+
+    if n_atoms is None:
+        raise ValueError(f"{path}: no 'The structure contains' header found")
+
+    R_arr = np.asarray(R, dtype=np.float64).reshape(-1, n_atoms, 3)
+    F_arr = (np.asarray(F, dtype=np.float64).reshape(-1, n_atoms, 3)
+             * _EV_TO_KCALMOL)
+    E_arr = np.asarray(E, dtype=np.float64) * _EV_TO_KCALMOL
+
+    n_mols = min(R_arr.shape[0], F_arr.shape[0], E_arr.shape[0])
+    if n_mols == 0:
+        raise ValueError(f"{path}: no complete (R, E, F) steps found")
+    R_arr, F_arr, E_arr = R_arr[:n_mols], F_arr[:n_mols], E_arr[:n_mols]
+
+    dataset = {
+        "type": "d",
+        "name": np.asarray(name or Path(path).stem),
+        "theory": np.asarray(kw.get("theory", "unknown")),
+        "z": np.asarray(z, dtype=np.int64),
+        "R": R_arr,
+        "E": E_arr[:, None],
+        "F": F_arr,
+        "r_unit": np.asarray("Ang"),
+        "e_unit": np.asarray("kcal/mol"),
+        "F_min": np.min(F_arr), "F_max": np.max(F_arr),
+        "F_mean": np.mean(F_arr), "F_var": np.var(F_arr),
+        "E_min": np.min(E_arr), "E_max": np.max(E_arr),
+        "E_mean": np.mean(E_arr), "E_var": np.var(E_arr),
+    }
+    dataset["md5"] = np.asarray(dataset_md5(dataset))
+    return dataset
 
 
 def download(command: str, file_name: str):

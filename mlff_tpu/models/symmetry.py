@@ -166,17 +166,100 @@ def inv_perm(perm: np.ndarray) -> np.ndarray:
     return inv
 
 
-def find_frag_perms(R: np.ndarray, z: np.ndarray, **kwargs) -> np.ndarray:
-    """Permutations of non-bonded molecular fragments
-    (reference perm.py:361-527).  The reference gates this behind
-    USE_FRAG_PERMS = False (train.py:500) and it requires ASE bond analysis;
-    it is optional and unimplemented here — returns the identity set."""
-    try:
-        import ase  # noqa: F401
-    except ImportError:
-        log.warning("find_frag_perms requires ASE; returning identity only")
-        return np.arange(R.shape[1])[None, :]
-    raise NotImplementedError(
-        "fragment-permutation search is not implemented yet (the reference "
-        "ships it disabled, train.py:500)"
+# Cordero et al. 2008 single-bond covalent radii (Angstrom), common elements
+_COVALENT_RADII = {
+    1: 0.31, 2: 0.28, 3: 1.28, 4: 0.96, 5: 0.84, 6: 0.76, 7: 0.71, 8: 0.66,
+    9: 0.57, 10: 0.58, 11: 1.66, 12: 1.41, 13: 1.21, 14: 1.11, 15: 1.07,
+    16: 1.05, 17: 1.02, 18: 1.06, 19: 2.03, 20: 1.76, 26: 1.32, 29: 1.32,
+    30: 1.22, 35: 1.20, 53: 1.39,
+}
+
+
+def covalent_adjacency(r0: np.ndarray, z: np.ndarray, scale: float = 1.25):
+    """Bond-adjacency matrix from covalent-radii distance cutoffs.
+
+    Replaces the reference's ASE ``Analysis(atoms).adjacency_matrix``
+    (perm.py:373-377) with the same standard criterion ASE uses:
+    bonded iff dist(i, j) < scale * (r_cov_i + r_cov_j).  Assumes Angstrom,
+    like the reference ("assumes Ang!", perm.py:367)."""
+    rc = np.array([_COVALENT_RADII.get(int(zi), 1.5) for zi in z])
+    dist = scipy.spatial.distance.squareform(
+        scipy.spatial.distance.pdist(r0, "euclidean")
     )
+    cutoff = scale * (rc[:, None] + rc[None, :])
+    adj = (dist < cutoff) & ~np.eye(len(z), dtype=bool)
+    return adj
+
+
+def find_frag_perms(
+    R: np.ndarray, z: np.ndarray, max_frames: int = 10
+) -> np.ndarray:
+    """Permutations of identical non-bonded molecular fragments
+    (reference perm.py:361-527, gated behind USE_FRAG_PERMS=False at
+    train.py:500).
+
+    Pipeline (the functional core of the reference; its trailing
+    hardcoded-index alignment experiment is molecule-specific debug code and
+    intentionally not reproduced):
+
+      1. connected components of the bond graph of frame 0 -> fragments,
+      2. for every fragment pair with equal sorted composition, match the
+         two fragments with :func:`find_perms` over up to ``max_frames``
+         frames and embed each local permutation as a global fragment swap,
+      3. deduplicate and transitively close the resulting set.
+
+    Returns the identity set when the molecule is a single connected
+    fragment (or fragmentation looks pathological — every atom isolated).
+    """
+    from scipy.sparse.csgraph import connected_components
+
+    M, n_atoms = R.shape[:2]
+    adj = covalent_adjacency(R[0], z)
+    n_frags, labels = connected_components(
+        csgraph=csr_matrix(adj), directed=False, return_labels=True
+    )
+    frags = [np.where(labels == lbl)[0] for lbl in range(n_frags)]
+
+    if n_frags == 1:
+        log.info("single connected fragment; no fragment permutations")
+        return np.arange(n_atoms)[None, :]
+    if n_frags == n_atoms:
+        log.warning(
+            "every atom is its own fragment (length unit not Angstrom?); "
+            "skipping fragment symmetry search"
+        )
+        return np.arange(n_atoms)[None, :]
+    log.info("found %d disconnected fragments", n_frags)
+
+    swap_perms = [np.arange(n_atoms)]
+    for f1 in range(n_frags):
+        for f2 in range(f1 + 1, n_frags):
+            sort_f1 = np.argsort(z[frags[f1]], kind="stable")
+            sort_f2 = np.argsort(z[frags[f2]], kind="stable")
+            z1 = z[frags[f1]][sort_f1]
+            z2 = z[frags[f2]][sort_f2]
+            if not np.array_equal(z1, z2):
+                continue
+            inv_sort_f2 = inv_perm(sort_f2)
+            for ri in range(min(max_frames, M)):
+                R_pair = np.stack([
+                    R[ri, frags[f1]][sort_f1],
+                    R[ri, frags[f2]][sort_f2],
+                ])
+                for p in find_perms(R_pair, z1):
+                    match_perm = sort_f1[p][inv_sort_f2]
+                    swap = np.arange(n_atoms)
+                    swap[frags[f1]] = frags[f2][match_perm]
+                    swap[frags[f2][match_perm]] = frags[f1]
+                    swap_perms.append(swap)
+
+    swap_perms = np.unique(np.asarray(swap_perms), axis=0)
+    sym_group_perms = complete_sym_group(swap_perms, n_perms_max=100)
+    if sym_group_perms is None:
+        log.warning("fragment-perm closure exceeded 100; salvaging subgroup")
+        sym_group_perms = complete_sym_group(
+            salvage_subgroup(swap_perms), n_perms_max=100
+        )
+    log.info("found %d fragment permutations after closure",
+             sym_group_perms.shape[0])
+    return sym_group_perms

@@ -88,3 +88,65 @@ def test_ase_calc_gated():
     if not ase_calc._HAVE_ASE:
         with pytest.raises(ImportError):
             ase_calc.MLFFCalculator(model={})
+
+
+def _fake_aims_output(path, R, z, E_eV, F_eV):
+    """Emit a minimal FHI-aims MD stdout with the three per-step sections."""
+    from mlff_tpu.data.xyz import z_to_str
+
+    M, A, _ = R.shape
+    with open(path, "w") as fh:
+        fh.write(f"  The structure contains {A} atoms,  and a total of "
+                 f"{float(sum(z)):.3f} electrons.\n\n")
+        for s in range(M):
+            fh.write("  Energy and forces in a compact form:\n")
+            fh.write(f"  | Total energy uncorrected      :  {E_eV[s]: .12e} eV\n")
+            fh.write("  Total atomic forces (unitary forces cleaned) [eV/Ang]:\n")
+            for a in range(A):
+                fx, fy, fz = F_eV[s, a]
+                fh.write(f"  |{a + 1:4d}   {fx: .8e}  {fy: .8e}  {fz: .8e}\n")
+            fh.write("  Atomic structure (and velocities) as used in the "
+                     "preceding time step:\n")
+            fh.write("  |\n")
+            for a in range(A):
+                x, y, zz = R[s, a]
+                fh.write(f"            atom   {x: .8f}  {y: .8f}  {zz: .8f}"
+                         f"  {z_to_str(z[a])}\n")
+
+
+def test_dataset_from_aims(tmp_path):
+    rng = np.random.default_rng(4)
+    M, A = 5, 3
+    R = rng.normal(size=(M, A, 3))
+    z = np.array([8, 1, 1])
+    E_eV = rng.normal(size=M) * 10 - 2000.0
+    F_eV = rng.normal(size=(M, A, 3))
+    path = tmp_path / "aims.out"
+    _fake_aims_output(path, R, z, E_eV, F_eV)
+
+    ds = xyz.dataset_from_aims(path, name="water_test")
+    ev2kcal = 0.036749326 / 0.0015946679
+    assert str(ds["name"]) == "water_test"
+    np.testing.assert_array_equal(ds["z"], z)
+    np.testing.assert_allclose(ds["R"], R, atol=1e-7)  # fixture prints %.8f
+    np.testing.assert_allclose(ds["E"][:, 0], E_eV * ev2kcal, rtol=1e-10)
+    np.testing.assert_allclose(ds["F"], F_eV * ev2kcal, rtol=1e-6)
+    assert "md5" in ds and ds["E"].shape == (M, 1)
+
+
+def test_dataset_from_aims_prunes_incomplete_tail(tmp_path):
+    rng = np.random.default_rng(5)
+    M, A = 4, 3
+    R = rng.normal(size=(M, A, 3))
+    z = np.array([6, 1, 1])
+    E_eV = rng.normal(size=M)
+    F_eV = rng.normal(size=(M, A, 3))
+    path = tmp_path / "aims_truncated.out"
+    _fake_aims_output(path, R, z, E_eV, F_eV)
+    # append one extra energy+forces with no geometry (interrupted run)
+    with open(path, "a") as fh:
+        fh.write("  Energy and forces in a compact form:\n")
+        fh.write("  | Total energy uncorrected      :  -1.0e+00 eV\n")
+
+    ds = xyz.dataset_from_aims(path)
+    assert ds["R"].shape[0] == M and ds["E"].shape[0] == M
