@@ -330,6 +330,48 @@ def assemble_columns_ecstr(
     return jnp.concatenate([top, bottom], axis=0)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def kernel_diag_ecstr(spec_dim_i: int, cache: KernelCache) -> jnp.ndarray:
+    """diag of the energy-constrained PSD kernel (n + N,), no ridge:
+    [diag(K_ff), diag(K_ee_sym)] (reference
+    iterative_cholesky.py:351-373 appends the E-block diagonal)."""
+    N = cache.X.shape[0]
+    P = cache.P_idx.shape[0]
+    K_ee, _ = _ecstr_mats(cache)                     # (N, M = N*P)
+    d_ee = jax.vmap(lambda i: jnp.sum(jax.lax.dynamic_slice(
+        K_ee[i], (i * P,), (P,))))(jnp.arange(N))
+    return jnp.concatenate([kernel_diag(spec_dim_i, cache), d_ee])
+
+
+def assemble_columns_ecstr_any(
+    spec: DescriptorSpec,
+    cache: KernelCache,
+    col_idxs: np.ndarray,
+    chunk: int = 8,
+) -> jnp.ndarray:
+    """Columns of the energy-constrained PSD kernel for ARBITRARY sorted
+    column indices in [0, n + N) — force columns and energy-constraint
+    columns mixed (the pivoted-Cholesky-family builders pivot over the whole
+    extended diagonal).  Returns (n + N, k), no ridge."""
+    N = cache.X.shape[0]
+    n = cache.n
+    col_idxs = np.asarray(col_idxs)
+    f_idx = col_idxs[col_idxs < n]
+    e_idx = col_idxs[col_idxs >= n] - n
+    K_fe, K_ee_sym = assemble_ecstr_blocks(spec.dim_i, cache)
+    parts = []
+    if len(f_idx):
+        top = assemble_columns(spec, cache, f_idx, chunk=chunk)   # (n, kf)
+        parts.append(jnp.concatenate([top, K_fe[f_idx, :].T], axis=0))
+    if len(e_idx):
+        e_cols = jnp.concatenate(
+            [K_fe[:, e_idx], K_ee_sym[:, e_idx]], axis=0
+        )
+        parts.append(e_cols)
+    # sorted input => all force columns precede all energy columns
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
 def assemble_full_ecstr(
     spec: DescriptorSpec, cache: KernelCache, tile: int = 32
 ) -> jnp.ndarray:
@@ -487,7 +529,11 @@ def assemble_columns(
     if spec.dim * T * 8 * max(4, cache.n_perms) > _INFLATION_BUDGET:
         return assemble_columns_compressed(spec, cache, col_idxs)
 
-    if len(uniq_points) > N // 3:
+    # the chunked path materializes ALL touched point-blocks
+    # (n_pts, n, 3A) before gathering — at n = 75k and ~1000 points that is
+    # ~15 GB and OOMs HBM; the wide path's footprint is ~the (n, k) result
+    chunked_bytes = len(uniq_points) * cache.n * T * 8
+    if len(uniq_points) > N // 3 or chunked_bytes > int(2e9):
         # dense-ish column set: assemble wide row-tiles against ALL touched
         # points in one shot — large matmul-shaped ops instead of per-point
         # slivers (which run ~100x slower on TPU).  Row tile sized to keep
@@ -606,6 +652,63 @@ def kernel_diag(spec_dim_i: int, cache: KernelCache) -> jnp.ndarray:
         return jnp.diagonal(blk)
 
     return jax.lax.map(one, jnp.arange(cache.n_train)).reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def kernel_diag_compressed(spec_dim_i: int, cache: KernelCache) -> jnp.ndarray:
+    """diag(K) (n,) without Jacobian inflation — large-D molecules.
+
+    For the diagonal entry of point i, partial t = (b, x), the two terms of
+    the Matérn-5/2 Hessian contraction reduce to compressed-Jacobian
+    contractions:
+
+      isotropic:    sum_q S[q,b] S[P_p[q],b] * Jc[q,x] Jc[P_p[q],x]
+                    (one fused einsum per perm; the (D, A) product never
+                    inflates to (D, A, 3)),
+      anisotropic:  -5 base_p * v_p[b,x] * vt_p[b,x] with
+                    v_p  = vec_dot_d_desc(Jc_i, S, delta_p)
+                    vt_p = vec_dot_d_desc(Jc_i, S, delta_p[Pinv_p]).
+
+    Cost O(N P D A); peak memory O(P D + D A) — vs the inflating
+    ``kernel_diag`` whose per-point block materializes a (D, A, 3) Jacobian
+    (~0.6 GB per point for the nanotube, d=370, D=68k)."""
+    sig = cache.sig
+    Pinv = jnp.argsort(cache.P_idx, axis=1)                 # (P, D)
+
+    def one(i):
+        Jc_i = cache.Jc[i]                                  # (D, 3)
+        X_i = cache.X[i]                                    # (D,)
+        Xp = X_i[cache.P_idx]                               # (P, D)
+        delta = X_i[None, :] - Xp                           # (P, D)
+        nrm = SQRT5 * jnp.linalg.norm(delta, axis=-1)       # (P,)
+        base = (5.0 / (3.0 * sig**4)) * jnp.exp(-nrm / sig)
+        c_iso = (sig**2 + sig * nrm) * base
+
+        def per_perm(p):
+            Pp = cache.P_idx[p]
+            Sp = cache.S[Pp]                                # (D, A) transient
+            g = Jc_i * Jc_i[Pp]                             # (D, 3)
+            # isotropic: fused einsum, never forms (D, A, 3)
+            termA = jnp.einsum("qa,qa,qx->ax", cache.S, Sp, g)
+            # anisotropic: two compressed contractions
+            v = vec_dot_d_desc(Jc_i, cache.S, delta[p])     # (A, 3)
+            vt = vec_dot_d_desc(Jc_i, cache.S, delta[p][Pinv[p]])
+            return c_iso[p] * termA - 5.0 * base[p] * v * vt
+
+        out = jnp.sum(
+            jax.lax.map(per_perm, jnp.arange(cache.P_idx.shape[0])), axis=0
+        )                                                   # (A, 3)
+        return out.reshape(-1)
+
+    return jax.lax.map(one, jnp.arange(cache.n_train)).reshape(-1)
+
+
+def kernel_diag_any(spec: DescriptorSpec, cache: KernelCache) -> jnp.ndarray:
+    """diag(K): inflating fast path for small D, compressed path for large D
+    (same routing rule as assemble_columns)."""
+    if spec.dim * spec.dim_i * 8 * max(4, cache.n_perms) > _INFLATION_BUDGET:
+        return kernel_diag_compressed(spec.dim_i, cache)
+    return kernel_diag(spec.dim_i, cache)
 
 
 @partial(jax.jit, static_argnums=(0,))

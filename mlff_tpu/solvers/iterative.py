@@ -73,14 +73,17 @@ def build_preconditioner(
     info: dict = {}
     t0 = time.perf_counter()
 
-    if use_E_cstr and strategy not in LEV_STRATEGIES:
+    if use_E_cstr and strategy in ("eigvec_precon_block_diagonal",
+                                   "eigvec_precon_atomic_interactions"):
         raise NotImplementedError(
-            f"use_E_cstr with preconditioner {strategy!r} is not supported; "
-            "use a Nyström-family strategy (random_scores/lev_*)"
+            f"use_E_cstr with {strategy!r} is not supported (the masked "
+            "variants assume the pure force-block structure)"
         )
 
     if strategy == "cholesky":
-        res, info_chol = pivoted_cholesky(spec, cache, max_rank=k)
+        res, info_chol = pivoted_cholesky(
+            spec, cache, max_rank=k, use_E_cstr=use_E_cstr
+        )
         P = pc.woodbury_from_factor(res.L, lam)
         inducing = np.arange(k)  # reference uses a size marker here
         info.update(info_chol)
@@ -88,7 +91,9 @@ def build_preconditioner(
     elif strategy == "cholesky_panel":
         # greedy panel variant: top-`block` residual-diagonal pivots per
         # round, rank-block GEMM updates (TPU-shaped; SURVEY.md §7.4.1)
-        res, info_chol = panel_pivoted_cholesky(spec, cache, max_rank=k)
+        res, info_chol = panel_pivoted_cholesky(
+            spec, cache, max_rank=k, use_E_cstr=use_E_cstr
+        )
         P = pc.woodbury_from_factor(res.L, lam)
         inducing = np.sort(np.asarray(info_chol["pivots"]))
         info.update(info_chol)
@@ -96,7 +101,9 @@ def build_preconditioner(
     elif strategy == "rpcholesky":
         # TPU-native blocked randomly-pivoted variant (no reference
         # counterpart; arXiv:2410.03969-style block sampling)
-        res, info_chol = block_rp_cholesky(spec, cache, max_rank=k)
+        res, info_chol = block_rp_cholesky(
+            spec, cache, max_rank=k, use_E_cstr=use_E_cstr
+        )
         P = pc.woodbury_from_factor(res.L, lam)
         inducing = np.sort(np.asarray(info_chol["pivots"]))
         info.update(info_chol)
@@ -104,7 +111,8 @@ def build_preconditioner(
     elif strategy in ("eigvec_precon", "eigvec_precon_block_diagonal",
                       "eigvec_precon_atomic_interactions"):
         P = pc.eigvec_preconditioner(
-            spec, cache, k, lam, variant=strategy, svd_cache=svd_cache
+            spec, cache, k, lam, variant=strategy, svd_cache=svd_cache,
+            use_E_cstr=use_E_cstr,
         )
         inducing = np.arange(k)
 

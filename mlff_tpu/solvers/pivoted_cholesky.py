@@ -94,26 +94,95 @@ def _pivoted_cholesky_device(
     return PivotedCholeskyResult(L, pivots, pvals, diag)
 
 
+@partial(jax.jit, static_argnums=(0, 5))
+def _pivoted_cholesky_device_ecstr(
+    spec_dim_i: int,
+    cache: knl.KernelCache,
+    diag0: jnp.ndarray,
+    K_fe: jnp.ndarray,       # (n, N) dense E-constraint cross block
+    K_ee: jnp.ndarray,       # (N, N) dense E-constraint block
+    max_rank: int,
+) -> PivotedCholeskyResult:
+    """Greedy loop over the energy-constrained extended system (n + N,):
+    force columns are assembled matrix-free as in the plain variant, energy
+    columns are reads of the (dense, small) E-blocks."""
+    n_ext = diag0.shape[0]
+    n_f = n_ext - K_ee.shape[0]
+    dtype = diag0.dtype
+    eps_floor = jnp.max(diag0) * 1e-30
+
+    def getcol(p):
+        def force(p):
+            colF = knl.kernel_column(spec_dim_i, cache, p)   # (n,) + lam e_p
+            return jnp.concatenate([colF, K_fe[p]])
+        def energy(p):
+            j = p - n_f
+            col = jnp.concatenate([K_fe[:, j], K_ee[:, j]])
+            return col.at[p].add(cache.lam)
+        return jax.lax.cond(p < n_f, force, energy, p)
+
+    def body(m, state):
+        L, diag, chosen, pivots, pvals = state
+        masked = jnp.where(chosen, -jnp.inf, diag)
+        p = jnp.argmax(masked)
+        pval = diag[p]
+        ok = pval > eps_floor
+        l_mm = jnp.sqrt(jnp.maximum(pval, eps_floor))
+        col = getcol(p)
+        schur = L @ L[p, :]
+        newcol = (col - schur) / l_mm
+        newcol = jnp.where(chosen & (jnp.arange(n_ext) != p), 0.0, newcol)
+        newcol = newcol.at[p].set(l_mm)
+        newcol = jnp.where(ok, newcol, jnp.zeros_like(newcol))
+        L = L.at[:, m].set(newcol)
+        diag = diag - newcol**2
+        chosen = chosen.at[p].set(True)
+        pivots = pivots.at[m].set(p)
+        pvals = pvals.at[m].set(pval)
+        return (L, diag, chosen, pivots, pvals)
+
+    init = (
+        jnp.zeros((n_ext, max_rank), dtype),
+        diag0,
+        jnp.zeros(n_ext, dtype=bool),
+        jnp.zeros(max_rank, dtype=jnp.int32),
+        jnp.zeros(max_rank, dtype),
+    )
+    L, diag, chosen, pivots, pvals = jax.lax.fori_loop(0, max_rank, body, init)
+    return PivotedCholeskyResult(L, pivots, pvals, diag)
+
+
 def pivoted_cholesky(
     spec: DescriptorSpec,
     cache: knl.KernelCache,
     max_rank: int,
     diag: jnp.ndarray | None = None,
+    use_E_cstr: bool = False,
 ) -> tuple[PivotedCholeskyResult, dict]:
     """Rank-``max_rank`` pivoted incomplete Cholesky of (K + lam I).
 
     The seed diagonal intentionally omits the ridge term, mirroring the
     reference's mixed convention (diag from
     iterative_cholesky._assemble_kernel_mat_diag has no +lam, the extracted
-    columns do) so pivot order parity is exact.
+    columns do) so pivot order parity is exact.  With ``use_E_cstr`` the
+    factorization runs over the energy-constrained extended system
+    (n + n_train rows; reference iterative_cholesky.py:351-373).
 
     Returns the factor plus an info dict matching the reference's
     ``info_cholesky`` schema (incomplete_cholesky.py:86-88).
     """
     t0 = time.perf_counter()
-    if diag is None:
-        diag = knl.kernel_diag(spec.dim_i, cache)
-    res = _pivoted_cholesky_device(spec.dim_i, cache, diag, max_rank)
+    if use_E_cstr:
+        if diag is None:
+            diag = knl.kernel_diag_ecstr(spec.dim_i, cache)
+        K_fe, K_ee = knl.assemble_ecstr_blocks(spec.dim_i, cache)
+        res = _pivoted_cholesky_device_ecstr(
+            spec.dim_i, cache, diag, K_fe, K_ee, max_rank
+        )
+    else:
+        if diag is None:
+            diag = knl.kernel_diag_any(spec, cache)
+        res = _pivoted_cholesky_device(spec.dim_i, cache, diag, max_rank)
     res.L.block_until_ready()
     elapsed = time.perf_counter() - t0
 
@@ -126,7 +195,7 @@ def pivoted_cholesky(
     info = {
         "time_cholesky": np.full(max_rank, elapsed / max(max_rank, 1)),
         "L.shape": tuple(res.L.shape),
-        "index_columns": _full_index_order(res, cache.n),
+        "index_columns": _full_index_order(res, res.remaining_diag.shape[0]),
         "pivots": np.asarray(res.pivots),
         "remaining_diag_error": err,
         "total_time_cholesky_s": elapsed,
@@ -141,6 +210,7 @@ def block_rp_cholesky(
     block: int = 128,
     seed: int = 0,
     diag: jnp.ndarray | None = None,
+    use_E_cstr: bool = False,
 ) -> tuple[PivotedCholeskyResult, dict]:
     """Blocked randomly-pivoted Cholesky of (K + lam I).
 
@@ -156,7 +226,10 @@ def block_rp_cholesky(
     t0 = time.perf_counter()
     rng = np.random.default_rng(seed)
     if diag is None:
-        diag = knl.kernel_diag(spec.dim_i, cache)
+        diag = (knl.kernel_diag_ecstr(spec.dim_i, cache) if use_E_cstr
+                else knl.kernel_diag_any(spec, cache))
+    assemble = (knl.assemble_columns_ecstr_any if use_E_cstr
+                else knl.assemble_columns)
     n = diag.shape[0]
     dtype = diag.dtype
 
@@ -181,7 +254,7 @@ def block_rp_cholesky(
         idx = np.sort(idx)
         b = len(idx)
 
-        cols = knl.assemble_columns(spec, cache, idx)        # (n, b) + no ridge
+        cols = assemble(spec, cache, idx)                    # (n, b), no ridge
         cols = cols.at[jnp.asarray(idx), jnp.arange(b)].add(float(cache.lam))
         Lb = _rp_block_update(L, cols, jnp.asarray(idx))     # (n, b)
         Lb_host_diag = np.asarray(jnp.sum(Lb * Lb, axis=1))
@@ -220,6 +293,7 @@ def panel_pivoted_cholesky(
     block: int = 128,
     accept_tol: float = 0.25,
     diag: jnp.ndarray | None = None,
+    use_E_cstr: bool = False,
 ) -> tuple[PivotedCholeskyResult, dict]:
     """Greedy *panel* pivoted Cholesky of (K + lam I).
 
@@ -239,7 +313,10 @@ def panel_pivoted_cholesky(
     """
     t0 = time.perf_counter()
     if diag is None:
-        diag = knl.kernel_diag(spec.dim_i, cache)
+        diag = (knl.kernel_diag_ecstr(spec.dim_i, cache) if use_E_cstr
+                else knl.kernel_diag_any(spec, cache))
+    assemble = (knl.assemble_columns_ecstr_any if use_E_cstr
+                else knl.assemble_columns)
     n = diag.shape[0]
     dtype = diag.dtype
 
@@ -261,7 +338,7 @@ def panel_pivoted_cholesky(
         idx = np.sort(order)
         b = len(idx)
 
-        cols = knl.assemble_columns(spec, cache, idx)        # (n, b), no ridge
+        cols = assemble(spec, cache, idx)                    # (n, b), no ridge
         cols = cols.at[jnp.asarray(idx), jnp.arange(b)].add(float(cache.lam))
         corr = _schur_correct(L, cols, jnp.asarray(idx))     # (n, b)
         A_ss = np.asarray(_gather_block(corr, jnp.asarray(idx)))  # (b, b)

@@ -29,6 +29,7 @@ emulated/unsupported and these are negligible in the profile.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -226,11 +227,31 @@ def _nystrom_factor_eigh(
     tol1 = max(w1[-1], 0.0) * rank_tol
     w1_isqrt = np.where(w1 > tol1, 1.0 / np.sqrt(np.maximum(w1, tol1)), 0.0)
     W1 = jnp.asarray(V1 * w1_isqrt[None, :])               # h2d (m, m)
-    B, inner = _whiten_and_gram(W1, K_nm)                  # device GEMMs
-    w2, V2 = scipy.linalg.eigh(np.asarray(inner))          # d2h (m, m)
+    # All O(m^2 n) device work stays in (n, m) layout (B_t = B^T) and is
+    # CHUNKED over the n axis: TPU f64 matmul emulation splits each operand
+    # into 8 f32 slices, so one fused (75006, 3753) f64 GEMM holds ~4 x 8.4
+    # GB of operand splits — an instant HBM OOM.  lax.map over row chunks
+    # keeps one chunk's splits live; donated operands reuse K_nm's / B_t's
+    # buffers in place.
+    n = K_nm.shape[0]
+    n_chunks = max(1, -(-n // _GEMM_ROW_CHUNK))
+    pad = n_chunks * _GEMM_ROW_CHUNK - n
+    if pad:
+        K_nm = jnp.concatenate(
+            [K_nm, jnp.zeros((pad, K_nm.shape[1]), K_nm.dtype)], axis=0
+        )
+    B_t = _whiten_nm(K_nm, W1, n_chunks)                   # (n_pad, m), donates
+    inner = np.asarray(_gram_nm(B_t, n_chunks))            # d2h (m, m)
+    w2, V2 = scipy.linalg.eigh(inner)
     s2 = 1.0 / np.sqrt(np.maximum(w2, 0.0) + lam)
     W2 = jnp.asarray(V2 * s2[None, :])                     # h2d (m, m)
-    return _project_factor(W2, B)
+    T = _project_factor_nm(B_t, W2, n_chunks)              # (m, n_pad), donates
+    return T[:, :n] if pad else T
+
+
+# row-chunk size for the factorization GEMMs: per-chunk f64-emulation splits
+# are 8 f32 slices of (chunk, m) with ~4 live at once — ~2 GB at m = 4096
+_GEMM_ROW_CHUNK = 4096
 
 
 @jax.jit
@@ -238,16 +259,35 @@ def _gather_rows(K_nm: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
     return K_nm[idxs]
 
 
-@jax.jit
-def _whiten_and_gram(W1: jnp.ndarray, K_nm: jnp.ndarray):
-    """B = W1^T K_mn (m, n) and its Gram B B^T (m, m), one compiled graph."""
-    B = W1.T @ K_nm.T
-    return B, B @ B.T
+@partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
+    """B^T = K_nm W1 (n, m), row-chunked; K_nm's buffer is donated."""
+    n, m = K_nm.shape
+    out = jax.lax.map(lambda Kb: Kb @ W1, K_nm.reshape(n_chunks, -1, m))
+    return out.reshape(n, m)
 
 
-@jax.jit
-def _project_factor(W2: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    return W2.T @ B
+@partial(jax.jit, static_argnums=(1,))
+def _gram_nm(B_t: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
+    """Gram B B^T = B_t^T B_t (m, m), accumulated over row chunks."""
+    n, m = B_t.shape
+    Bc = B_t.reshape(n_chunks, -1, m)
+
+    def body(i, acc):
+        Bb = Bc[i]
+        return acc + Bb.T @ Bb
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((m, m), B_t.dtype)
+    )
+
+
+@partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def _project_factor_nm(B_t: jnp.ndarray, W2: jnp.ndarray, n_chunks: int):
+    """T = W2^T B = (B_t W2)^T (m, n), row-chunked."""
+    n, m = B_t.shape
+    out = jax.lax.map(lambda Bb: Bb @ W2, B_t.reshape(n_chunks, -1, m))
+    return out.reshape(n, m).T
 
 
 def _nystrom_factor_chol(
@@ -415,6 +455,7 @@ def eigvec_preconditioner(
     lam: float,
     variant: str = "eigvec_precon",
     svd_cache: dict | None = None,
+    use_E_cstr: bool = False,
 ) -> WoodburyPreconditioner:
     """Truncated-SVD preconditioner P = U_k S_k U_k^T + lam I.
 
@@ -428,11 +469,19 @@ def eigvec_preconditioner(
     reference's glob_U/glob_s module globals do (iterative_solver.py:1291-1303)
     — but explicitly, per caller.
     """
-    key = ("svd", variant)
+    key = ("svd", variant, use_E_cstr)
     if svd_cache is not None and key in svd_cache:
         U, s = svd_cache[key]
     else:
-        K = np.asarray(knl.assemble_full(spec, cache))
+        if use_E_cstr:
+            if variant != "eigvec_precon":
+                raise NotImplementedError(
+                    f"use_E_cstr with {variant!r} (masked variants assume "
+                    "pure force-block structure)"
+                )
+            K = np.asarray(knl.assemble_full_ecstr(spec, cache))
+        else:
+            K = np.asarray(knl.assemble_full(spec, cache))
         n = K.shape[0]
         T = spec.dim_i
         if variant == "eigvec_precon_block_diagonal":

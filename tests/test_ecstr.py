@@ -81,3 +81,67 @@ def test_ecstr_training_end_to_end(ethanol_ds):
     F_ref = np.asarray(task["F_train"])
     # E-constrained fit is regularized differently; just require a sane fit
     assert np.abs(F_hat - F_ref).mean() < 0.25 * np.abs(F_ref).mean()
+
+
+def test_ecstr_diag_and_columns_any(setup):
+    """kernel_diag_ecstr / assemble_columns_ecstr_any vs the dense oracle."""
+    spec, cache, _ = setup
+    K = np.asarray(knl.assemble_full_ecstr(spec, cache))
+    n_ext = K.shape[0]
+
+    d = np.asarray(knl.kernel_diag_ecstr(spec.dim_i, cache))
+    np.testing.assert_allclose(d, np.diagonal(K), rtol=1e-9, atol=1e-12)
+
+    rng = np.random.default_rng(2)
+    idx = np.sort(rng.choice(n_ext, size=n_ext // 3, replace=False))
+    cols = np.asarray(knl.assemble_columns_ecstr_any(spec, cache, idx))
+    np.testing.assert_allclose(cols, K[:, idx], rtol=1e-9, atol=1e-12)
+
+    # pure-energy and pure-force subsets too (different code branches)
+    e_only = np.arange(cache.n + 1, n_ext, 2)
+    np.testing.assert_allclose(
+        np.asarray(knl.assemble_columns_ecstr_any(spec, cache, e_only)),
+        K[:, e_only], rtol=1e-9, atol=1e-12)
+    f_only = np.arange(0, cache.n, 7)
+    np.testing.assert_allclose(
+        np.asarray(knl.assemble_columns_ecstr_any(spec, cache, f_only)),
+        K[:, f_only], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("strategy", ["cholesky", "cholesky_panel",
+                                      "rpcholesky", "eigvec_precon"])
+def test_ecstr_cholesky_eigvec_preconditioners_train(ethanol_ds, strategy):
+    """The pivoted-Cholesky family and the truncated-SVD preconditioner
+    support the energy-constrained system end-to-end."""
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+
+    task = create_task(ethanol_ds, n_train=12, valid_dataset=ethanol_ds,
+                       n_valid=8, sig=5.0, solver="cg", use_E_cstr=True)
+    model = Trainer().train(
+        dict(task), break_percentage=0.2, str_preconditioner=strategy
+    )
+    assert bool(model["is_conv"])
+    assert model.get("alphas_E") is not None
+
+
+def test_ecstr_pivoted_cholesky_factor_validity(setup):
+    """Greedy ecstr factor approximates the extended kernel."""
+    from mlff_tpu.solvers.pivoted_cholesky import pivoted_cholesky
+
+    spec, cache, _ = setup
+    K = np.asarray(knl.assemble_full_ecstr(spec, cache))
+    n_ext = K.shape[0]
+    Khat = K + LAM * np.eye(n_ext)
+    k = n_ext // 2
+    res, info = pivoted_cholesky(spec, cache, max_rank=k, use_E_cstr=True)
+    assert res.L.shape == (n_ext, k)
+    approx = np.asarray(res.L) @ np.asarray(res.L).T
+    err0 = np.linalg.norm(Khat)
+    err = np.linalg.norm(Khat - approx)
+    assert err < 0.5 * err0  # rank-n/2 factor captures the bulk
+    piv = np.asarray(res.pivots)
+    assert len(set(piv.tolist())) == len(piv)
+    # pivots span both blocks eventually (E diag is smaller but nonzero)
+    assert (np.asarray(res.remaining_diag) <= np.asarray(
+        knl.kernel_diag_ecstr(spec.dim_i, cache)).max() + 1e-9).all()

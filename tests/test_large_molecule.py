@@ -50,3 +50,42 @@ def test_cg_with_nystrom_on_large_descriptor(catcher):
               tol=1e-4, maxiter=4 * n)
     assert np.all(np.isfinite(res.x))
     assert res.resid < np.linalg.norm(y)  # made progress
+
+
+@pytest.fixture(scope="module")
+def nanotube():
+    """AIMS-nanotube-sized (d=370 => D=68,265) — the largest reference
+    system (create_data.py:55-72)."""
+    n_atoms, n_train = 370, 3
+    rng = np.random.default_rng(7)
+    R = rng.normal(size=(n_train, n_atoms, 3)) * 6.0
+    spec = dsc.make_spec(n_atoms)
+    S = dsc.incidence_matrix(spec)
+    X, Jc = dsc.descriptors_from_R(spec, jnp.asarray(R))
+    P_idx = jnp.asarray(dsc.desc_perms(np.arange(n_atoms)[None, :]))
+    cache = knl.build_cache(X, Jc, S, P_idx, 10.0, 1e-10)
+    return spec, cache
+
+
+def test_nanotube_diag_compressed_matches(nanotube):
+    spec, cache = nanotube
+    d_fast = np.asarray(knl.kernel_diag_any(spec, cache))
+    # kernel_diag_any must route large-D to the compressed path
+    d_comp = np.asarray(knl.kernel_diag_compressed(spec.dim_i, cache))
+    np.testing.assert_array_equal(d_fast, d_comp)
+    # spot-check three entries against directly assembled columns
+    for col in (0, 517, cache.n - 1):
+        c = np.asarray(knl.assemble_columns(spec, cache, np.array([col])))
+        np.testing.assert_allclose(d_fast[col], c[col, 0], rtol=1e-9)
+
+
+def test_nanotube_panel_cholesky_runs(nanotube):
+    """The panel pivoted Cholesky (batched compressed columns + compressed
+    diag) handles nanotube-scale descriptors without Jacobian inflation."""
+    from mlff_tpu.solvers.pivoted_cholesky import panel_pivoted_cholesky
+
+    spec, cache = nanotube
+    res, info = panel_pivoted_cholesky(spec, cache, max_rank=48, block=16)
+    assert res.L.shape[0] == cache.n
+    assert np.isfinite(np.asarray(res.L)).all()
+    assert (np.asarray(res.pivot_values) > 0).all()

@@ -255,7 +255,7 @@ def test_eigvec_preconditioner_full_rank_exact(setup):
     np.testing.assert_allclose(out, v, rtol=5e-5, atol=1e-7)
     # cache reuse
     P2 = pc.eigvec_preconditioner(spec, cache, n // 2, LAM, svd_cache=svd_cache)
-    assert ("svd", "eigvec_precon") in svd_cache
+    assert ("svd", "eigvec_precon", False) in svd_cache
 
 
 def test_cho_factor_stable_on_indefinite():
