@@ -151,6 +151,16 @@ class PCGSolver:
         )
 
 
+def _to_host(x) -> np.ndarray:
+    """Fetch an array to host; multi-process-safe.  Row-sharded CG state is
+    not process-addressable under jax.distributed — allgather it."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def pcg(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
@@ -236,7 +246,7 @@ def _pcg_drive(
             and now - t_last_ckpt >= checkpoint_every_s
         ):
             t_last_ckpt = now
-            checkpoint_callback(np.asarray(state.x), it_after, float(state.resid))
+            checkpoint_callback(_to_host(state.x), it_after, float(state.resid))
 
         # The reference detects stagnation but its restart raise is disabled
         # (iterative_solver.py:958-965); breaking out is opt-in here so the
@@ -246,7 +256,7 @@ def _pcg_drive(
 
     resid = float(state.resid)
     return CGResult(
-        x=np.asarray(state.x),
+        x=_to_host(state.x),
         converged=resid <= float(threshold),
         num_iters=int(state.it),
         resid=resid,
