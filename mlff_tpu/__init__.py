@@ -42,7 +42,7 @@ _cache_dir = os.environ.get(
 )
 if _cache_dir.lower() != "off":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)  # the remote-compile tunnel makes even tiny eager ops cost ~0.5 s each
     # keep source locations/tracebacks out of the lowered IR: they shift on
     # every source edit and silently invalidate the persistent cache keys
     jax.config.update("jax_include_full_tracebacks_in_locations", False)

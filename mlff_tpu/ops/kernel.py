@@ -467,31 +467,97 @@ def _point_block_cols(spec_dim_i: int, cache: KernelCache, j: jnp.ndarray):
     )
 
 
+def _group_columns(points: np.ndarray, partials: np.ndarray, g: int):
+    """Group requested (point, partial) columns by owning point, padding each
+    group to ``g`` slots (points with more than g requested partials split
+    into several groups).  Returns (grp_pt (C,), grp_t (C, g) with -1 pads,
+    flat_valid (k,) mapping sorted input columns to flattened (C*g) slots)."""
+    groups: list[tuple[int, list[int]]] = []
+    prev_pt = None
+    for p, t in zip(points.tolist(), partials.tolist()):
+        if p != prev_pt or len(groups[-1][1]) == g:
+            groups.append((p, []))
+        prev_pt = p
+        groups[-1][1].append(t)
+    grp_pt = np.array([p for p, _ in groups], dtype=np.int64)
+    grp_t = np.full((len(groups), g), -1, dtype=np.int64)
+    flat_valid = []
+    for i, (_, ts) in enumerate(groups):
+        grp_t[i, : len(ts)] = ts
+        flat_valid.extend(i * g + s for s in range(len(ts)))
+    return grp_pt, grp_t, np.asarray(flat_valid, dtype=np.int64)
+
+
+def _columns_jcol(cache: KernelCache, grp_pt: jnp.ndarray, grp_t: jnp.ndarray):
+    """Permuted compressed Jacobian COLUMNS for the grouped column set:
+    jcol[c, s, p, q] = Jc[grp_pt[c]][P[p,q], x] * S[P[p,q], b] for partial
+    t = (b, x) = grp_t[c, s]; zero for -1 pads.  Small: (C, g, P, D).
+    Traced (called inside _assemble_columns_grouped — as eager ops, its ~10
+    small remote compiles cost ~12 s per process and are too fast to
+    persistent-cache individually)."""
+    C, g = grp_t.shape
+    valid = grp_t >= 0
+    t_safe = jnp.where(valid, grp_t, 0)
+    b = t_safe // 3                                     # (C, g) atom index
+    x = t_safe % 3                                      # (C, g) xyz
+    J_g = cache.Jc[grp_pt][:, cache.P_idx, :]           # (C, P, D, 3)
+    jx = jnp.take_along_axis(
+        J_g[:, None], x[:, :, None, None, None], axis=-1
+    )[..., 0]                                           # (C, g, P, D)
+    S_p = cache.S[cache.P_idx]                          # (P, D, A)
+    St = jnp.take(S_p, b.reshape(-1), axis=2)           # (P, D, C*g)
+    sb = St.transpose(2, 0, 1).reshape(C, g, *S_p.shape[:2])  # (C, g, P, D)
+    return jx * sb * valid[:, :, None, None]
+
+
 @partial(jax.jit, static_argnums=(0, 4))
-def _assemble_columns_wide(
+def _assemble_columns_grouped(
     spec_dim_i: int,
     cache: KernelCache,
-    pts: jnp.ndarray,
-    local_cols: jnp.ndarray,
+    grp_pt: jnp.ndarray,    # (C,)
+    grp_t: jnp.ndarray,     # (C, g) partial indices, -1 pads
     tile: int,
+    flat_valid: jnp.ndarray = None,  # (k,) column slots to keep
 ) -> jnp.ndarray:
-    """Wide-tile column assembly as ONE compiled graph: lax.map over row
-    tiles, per-tile dense block against all touched points, on-device column
-    gather.  (Python-loop dispatch through the TPU tunnel costs ~0.5-1s per
-    call; a single graph removes that entirely.)"""
+    """Column-exact assembly: computes ONLY the requested partials.
+
+    A wide-tile block path (assembling all 3A partials of every touched
+    point, then gathering ~2 of them) has an O(B C D (3A)^2) inner einsum.  Here the permutation axis is collapsed
+    BEFORE the row-side Jacobian is applied, giving
+    O(B C D (3 g P + g 3A)) — measured ~6x fewer FLOPs at the rule-of-thumb
+    k (g=4, P=6, 3A=27).  Returns (n, k) — the requested columns.
+    """
+    sig = cache.sig
     N = cache.n_train
     T = spec_dim_i
+    jcol = _columns_jcol(cache, grp_pt, grp_t)          # (C, g, P, D)
+    X_g = cache.X[grp_pt][:, cache.P_idx]               # (C, P, D)
     n_tiles = -(-N // tile)
     starts = jnp.arange(n_tiles) * tile
 
     def one(start):
         I_idx = jnp.clip(start + jnp.arange(tile), 0, N - 1)
-        blk = assemble_block(T, cache, I_idx, pts)
-        return blk[:, local_cols]              # (tile*T, k)
+        X_I = cache.X[I_idx]                            # (B, D)
+        Jf_I = _inflate_full(cache.Jc[I_idx], cache.S)  # (B, D, T)
+        delta = X_I[:, None, None, :] - X_g[None]       # (B, C, P, D)
+        nrm = SQRT5 * jnp.linalg.norm(delta, axis=-1)   # (B, C, P)
+        base = (5.0 / (3.0 * sig**4)) * jnp.exp(-nrm / sig)
+        c_iso = (sig**2 + sig * nrm) * base
+        # u, z, W as broadcast-reduces on the VPU: the g/P axes are tiny
+        # (4/6), so dot_general forms pad them to MXU tiles — under f64
+        # emulation (8 f32 operand splits) that padding OOM'd HBM
+        dj = delta[:, :, None, :, :] * jcol[None]       # (B, C, g, P, D)
+        u = jnp.sum(dj, axis=-1)                        # (B, C, g, P)
+        ub = u * base[:, :, None, :]
+        z = jnp.sum(ub[..., None] * delta[:, :, None], axis=3)   # (B, C, g, D)
+        W = jnp.sum(c_iso[:, :, None, :, None] * jcol[None], axis=3)
+        G = W - 5.0 * z                                 # (B, C, g, D)
+        out = jnp.einsum("bcsd,bdt->bcst", G, Jf_I)     # (B, C, g, T)
+        return out.transpose(0, 3, 1, 2).reshape(tile * T, -1)
 
-    out = jax.lax.map(one, starts)             # (n_tiles, tile*T, k)
-    out = out.reshape(n_tiles * tile * T, -1)
-    return out[: N * T]                        # clamp-padding sits at the end
+    out = jax.lax.map(one, starts)                      # (n_tiles, tile*T, C*g)
+    out = out.reshape(n_tiles * tile * T, -1)[: N * T]
+    return out[:, flat_valid] if flat_valid is not None else out
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -531,23 +597,25 @@ def assemble_columns(
 
     # the chunked path materializes ALL touched point-blocks
     # (n_pts, n, 3A) before gathering — at n = 75k and ~1000 points that is
-    # ~15 GB and OOMs HBM; the wide path's footprint is ~the (n, k) result
+    # ~15 GB and OOMs HBM; the grouped path's footprint is ~the (n, k) result
     chunked_bytes = len(uniq_points) * cache.n * T * 8
     if len(uniq_points) > N // 3 or chunked_bytes > int(2e9):
-        # dense-ish column set: assemble wide row-tiles against ALL touched
-        # points in one shot — large matmul-shaped ops instead of per-point
-        # slivers (which run ~100x slower on TPU).  Row tile sized to keep
-        # the (tile, n_pts, D, 3A) intermediate ~<= 1.5 GB.
-        pts_dev = jnp.asarray(uniq_points)
-        local_col = (
-            np.searchsorted(uniq_points, points) * T + (col_idxs % T)
+        # dense-ish column set: column-exact grouped assembly — computes
+        # only the requested partials (see _assemble_columns_grouped).
+        # Slots per group track the average partials-per-point so sparse
+        # selections (leverage sampling: ~1/point) don't carry 4x padding;
+        # points with more partials split into several groups.
+        g = int(min(8, max(1, round(len(col_idxs) / len(uniq_points)))))
+        grp_pt, grp_t, flat_valid = _group_columns(points, col_idxs % T, g)
+        C = len(grp_pt)
+        # row tile sized so the (tile, C, g, P, D) broadcast-reduce
+        # intermediates stay ~<= 0.2 GB each
+        row_bytes = C * g * max(cache.n_perms, 1) * spec.dim * 8
+        tile = max(2, min(N, int(2e8 / max(row_bytes, 1))))
+        return _assemble_columns_grouped(
+            T, cache, jnp.asarray(grp_pt), jnp.asarray(grp_t), tile,
+            jnp.asarray(flat_valid),
         )
-        local_col_dev = jnp.asarray(local_col)
-        # row tile sized so the largest per-tile intermediate
-        # ((tile, n_pts, D, 3A) in f64) stays ~<= 0.4 GB
-        D3A = spec.dim * T * 8
-        tile = max(4, min(N, int(4e8 / max(len(uniq_points) * D3A, 1))))
-        return _assemble_columns_wide(T, cache, pts_dev, local_col_dev, tile)
 
     blocks = []
     for start in range(0, len(uniq_points), chunk):
@@ -723,3 +791,31 @@ def kernel_column(spec_dim_i: int, cache: KernelCache, col: jnp.ndarray) -> jnp.
     blk = _point_block_cols(T, cache, j)           # (n, 3A)
     column = blk[:, t]
     return column.at[col].add(cache.lam)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def kernel_column_compressed(
+    spec_dim_i: int, cache: KernelCache, col: jnp.ndarray
+) -> jnp.ndarray:
+    """Single column of (K + lam*I) without Jacobian inflation (the
+    single-column body of _columns_compressed_chunk) — large-D route for the
+    greedy pivoted-Cholesky loop."""
+    T = spec_dim_i
+    j = col // T
+    t = col % T
+    b, x = t // 3, t % 3
+    sig = cache.sig
+    Pj = cache.P_idx                                    # (P, D)
+    jcol = cache.Jc[j][Pj, x] * cache.S[Pj, b]          # (P, D)
+    Xt_j = cache.X[j][Pj]                               # (P, D)
+    delta = cache.X[:, None, :] - Xt_j[None, :, :]      # (N, P, D)
+    nrm = SQRT5 * jnp.linalg.norm(delta, axis=-1)       # (N, P)
+    base = (5.0 / (3.0 * sig**4)) * jnp.exp(-nrm / sig)
+    c_iso = (sig**2 + sig * nrm) * base
+    u = jnp.einsum("npd,pd->np", delta, jcol)           # (N, P)
+    G = (
+        jnp.einsum("np,pd->nd", c_iso, jcol)
+        - 5.0 * jnp.einsum("np,np,npd->nd", base, u, delta)
+    )                                                   # (N, D)
+    out = vec_dot_d_desc(cache.Jc, cache.S, G)          # (N, A, 3)
+    return out.reshape(-1).at[col].add(cache.lam)

@@ -165,10 +165,18 @@ def pcg(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
     precon: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
-    chunk: int = 25,
+    chunk: int | None = None,
     **kwargs,
 ) -> CGResult:
-    """One-shot convenience wrapper around PCGSolver."""
+    """One-shot convenience wrapper around PCGSolver.
+
+    ``chunk=None`` picks the iterations-per-dispatch by problem size: each
+    chunk boundary costs one host round trip (~50-150 ms through the TPU
+    tunnel), so large systems amortize it over more iterations; the bucketed
+    values keep the number of distinct compiled loop shapes small."""
+    if chunk is None:
+        n = b.shape[0]
+        chunk = 25 if n < 16384 else (50 if n < 49152 else 100)
     return PCGSolver(matvec, precon, chunk).solve(b, **kwargs)
 
 

@@ -41,12 +41,13 @@ class PivotedCholeskyResult(NamedTuple):
     remaining_diag: jnp.ndarray  # (n,) residual diagonal after k steps
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def _pivoted_cholesky_device(
     spec_dim_i: int,
     cache: knl.KernelCache,
     diag0: jnp.ndarray,
     max_rank: int,
+    compressed: bool = False,
 ) -> PivotedCholeskyResult:
     n = diag0.shape[0]
     dtype = diag0.dtype
@@ -65,7 +66,9 @@ def _pivoted_cholesky_device(
         ok = pval > eps_floor
         l_mm = jnp.sqrt(jnp.maximum(pval, eps_floor))
 
-        col = knl.kernel_column(spec_dim_i, cache, p)  # includes +lam e_p
+        getcol = (knl.kernel_column_compressed if compressed
+                  else knl.kernel_column)
+        col = getcol(spec_dim_i, cache, p)             # includes +lam e_p
 
         # Schur correction from the m previous factors: one (n, k) x (k,) GEMV
         # (columns >= m are still zero, so the full product is exact).
@@ -172,6 +175,9 @@ def pivoted_cholesky(
     ``info_cholesky`` schema (incomplete_cholesky.py:86-88).
     """
     t0 = time.perf_counter()
+    # large-D molecules: extract columns without Jacobian inflation
+    compressed = (spec.dim * spec.dim_i * 8 * max(4, cache.n_perms)
+                  > knl._INFLATION_BUDGET)
     if use_E_cstr:
         if diag is None:
             diag = knl.kernel_diag_ecstr(spec.dim_i, cache)
@@ -182,7 +188,8 @@ def pivoted_cholesky(
     else:
         if diag is None:
             diag = knl.kernel_diag_any(spec, cache)
-        res = _pivoted_cholesky_device(spec.dim_i, cache, diag, max_rank)
+        res = _pivoted_cholesky_device(spec.dim_i, cache, diag, max_rank,
+                                       compressed)
     res.L.block_until_ready()
     elapsed = time.perf_counter() - t0
 

@@ -136,15 +136,38 @@ def _pad_factor_rows(T: jnp.ndarray) -> jnp.ndarray:
 
 def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburyPreconditioner:
     """Build the Woodbury apply operator from a low-rank factor L (n, k).
-    Fully on device (see device_chol_stable for why)."""
-    k = L.shape[1]
+
+    Fully on device (see device_chol_stable for why); the O(k^2 n) Gram and
+    triangular solve are row-chunked like the Nyström factorization — an
+    unchunked (n, k) f64 GEMM's emulation operand splits OOM HBM at
+    n >~ 50k."""
     L = jnp.asarray(L)
-    inner = L.T @ L + lam * jnp.eye(k, dtype=L.dtype)
+    n, k = L.shape
+    n_chunks = max(1, -(-n // _GEMM_ROW_CHUNK))
+    pad = n_chunks * _GEMM_ROW_CHUNK - n
+    if pad and n_chunks > 1:
+        L = jnp.concatenate([L, jnp.zeros((pad, k), L.dtype)], axis=0)
+    else:
+        n_chunks, pad = 1, 0
+    inner = _gram_nm(L, n_chunks) + lam * jnp.eye(k, dtype=L.dtype)
     G = device_chol_stable(inner)
-    T = jax.scipy.linalg.solve_triangular(G, L.T, lower=True)  # (k, n)
+    T = _trsm_chunked(G, L, n_chunks)
+    if pad:
+        T = T[:, :n]
     return WoodburyPreconditioner(
         T=_pad_factor_rows(T), lam=jnp.asarray(lam, L.dtype)
     )
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _trsm_chunked(G: jnp.ndarray, L: jnp.ndarray, n_chunks: int):
+    """T = G^-1 L^T (k, n), RHS chunked over the n axis."""
+    n, k = L.shape
+    out = jax.lax.map(
+        lambda Lb: jax.scipy.linalg.solve_triangular(G, Lb.T, lower=True),
+        L.reshape(n_chunks, -1, k),
+    )                                   # (n_chunks, k, chunk)
+    return out.transpose(1, 0, 2).reshape(k, n)
 
 
 def nystrom_preconditioner(
@@ -222,17 +245,11 @@ def _nystrom_factor_eigh(
     option: QDWH-eig under f64 emulation takes 292 s to COMPILE at m=512.
     """
     idxs_dev = jnp.asarray(inducing_idxs)
-    K_mm = np.asarray(_gather_rows(K_nm, idxs_dev))        # d2h (m, m)
-    w1, V1 = scipy.linalg.eigh(K_mm)
-    tol1 = max(w1[-1], 0.0) * rank_tol
-    w1_isqrt = np.where(w1 > tol1, 1.0 / np.sqrt(np.maximum(w1, tol1)), 0.0)
-    W1 = jnp.asarray(V1 * w1_isqrt[None, :])               # h2d (m, m)
-    # All O(m^2 n) device work stays in (n, m) layout (B_t = B^T) and is
-    # CHUNKED over the n axis: TPU f64 matmul emulation splits each operand
-    # into 8 f32 slices, so one fused (75006, 3753) f64 GEMM holds ~4 x 8.4
-    # GB of operand splits — an instant HBM OOM.  lax.map over row chunks
-    # keeps one chunk's splits live; donated operands reuse K_nm's / B_t's
-    # buffers in place.
+    # O(m^2 n) device work is CHUNKED over the n axis: TPU f64 matmul
+    # emulation splits each operand into 8 f32 slices, so one fused
+    # (75006, 3753) f64 GEMM holds ~4 x 8.4 GB of operand splits — an
+    # instant HBM OOM.  lax.map over row chunks keeps one chunk's splits
+    # live; the donated operand reuses K_nm's buffer in place.
     n = K_nm.shape[0]
     n_chunks = max(1, -(-n // _GEMM_ROW_CHUNK))
     pad = n_chunks * _GEMM_ROW_CHUNK - n
@@ -240,9 +257,25 @@ def _nystrom_factor_eigh(
         K_nm = jnp.concatenate(
             [K_nm, jnp.zeros((pad, K_nm.shape[1]), K_nm.dtype)], axis=0
         )
+    # Two host round trips, each m x m (the ~16 MB/s tunnel + host eigh are
+    # the cost; divide-and-conquer driver is 7.0 vs 8.5 s at m = 3753).
+    #
+    # SELF-CONSISTENCY IS LOAD-BEARING: the inner matrix MUST be the Gram of
+    # the actual device-computed B_t = K_nm W1, not a congruence
+    # W1^T (K_nm^T K_nm) W1 evaluated on host.  With lam = 1e-10, the
+    # (w2 + lam)^-1/2 scaling needs `inner` to match B_t's true Gram to
+    # ~lam absolute in the small eigenvalues; the congruence takes a
+    # different roundoff path through the TPU's emulated-f64 GEMMs and its
+    # mismatch destroyed preconditioner quality (CG at n=31k went from
+    # 1213 iterations to non-converging within 40x that budget).
+    K_mm = np.asarray(_gather_rows(K_nm, idxs_dev))        # d2h (m, m)
+    w1, V1 = scipy.linalg.eigh(K_mm, driver="evd", overwrite_a=True)
+    tol1 = max(w1[-1], 0.0) * rank_tol
+    w1_isqrt = np.where(w1 > tol1, 1.0 / np.sqrt(np.maximum(w1, tol1)), 0.0)
+    W1 = jnp.asarray(V1 * w1_isqrt[None, :])               # h2d (m, m)
     B_t = _whiten_nm(K_nm, W1, n_chunks)                   # (n_pad, m), donates
     inner = np.asarray(_gram_nm(B_t, n_chunks))            # d2h (m, m)
-    w2, V2 = scipy.linalg.eigh(inner)
+    w2, V2 = scipy.linalg.eigh(inner, driver="evd", overwrite_a=True)
     s2 = 1.0 / np.sqrt(np.maximum(w2, 0.0) + lam)
     W2 = jnp.asarray(V2 * s2[None, :])                     # h2d (m, m)
     T = _project_factor_nm(B_t, W2, n_chunks)              # (m, n_pad), donates
@@ -260,7 +293,7 @@ def _gather_rows(K_nm: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
+def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, n_chunks: int):
     """B^T = K_nm W1 (n, m), row-chunked; K_nm's buffer is donated."""
     n, m = K_nm.shape
     out = jax.lax.map(lambda Kb: Kb @ W1, K_nm.reshape(n_chunks, -1, m))
@@ -277,14 +310,12 @@ def _gram_nm(B_t: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
         Bb = Bc[i]
         return acc + Bb.T @ Bb
 
-    return jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((m, m), B_t.dtype)
-    )
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((m, m), B_t.dtype))
 
 
 @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
 def _project_factor_nm(B_t: jnp.ndarray, W2: jnp.ndarray, n_chunks: int):
-    """T = W2^T B = (B_t W2)^T (m, n), row-chunked."""
+    """T = W2^T B = (B_t W2)^T (m, n), row-chunked; B_t's buffer is donated."""
     n, m = B_t.shape
     out = jax.lax.map(lambda Bb: Bb @ W2, B_t.reshape(n_chunks, -1, m))
     return out.reshape(n, m).T
@@ -396,12 +427,18 @@ def leverage_scores(
         assert len(idxs_ordered_by_lev_score) == n
         lev_approx_idxs = np.sort(idxs_ordered_by_lev_score[-dim_m:])
 
+    import time as _time
+    t0 = _time.perf_counter()
     K_nm = knl.assemble_columns(spec, cache, lev_approx_idxs)  # (n, m)
+    K_nm.block_until_ready()
+    t1 = _time.perf_counter()
     # ridge leverage scores are exactly the column sums-of-squares of the
     # eigh-based Nyström factor T = (B B^T + lam I)^-1/2 B (see
     # _nystrom_factor_eigh): deterministic, no chol ladder, no trsm
     T = _nystrom_factor_eigh(K_nm, lev_approx_idxs, lam, rank_tol=1e-10)
     lev = np.asarray(_colwise_sumsq(T))
+    log.info("lev scores (m=%d): columns %.1fs, factor+scores %.1fs",
+             len(lev_approx_idxs), t1 - t0, _time.perf_counter() - t1)
     return lev, np.argsort(lev)
 
 

@@ -89,3 +89,19 @@ def test_nanotube_panel_cholesky_runs(nanotube):
     assert res.L.shape[0] == cache.n
     assert np.isfinite(np.asarray(res.L)).all()
     assert (np.asarray(res.pivot_values) > 0).all()
+
+
+def test_nanotube_greedy_cholesky_compressed_column(nanotube):
+    """kernel_column_compressed matches the inflating path, and the greedy
+    pivoted Cholesky runs at nanotube scale through it."""
+    from mlff_tpu.solvers.pivoted_cholesky import pivoted_cholesky
+
+    spec, cache = nanotube
+    col = jnp.asarray(1234)
+    c1 = np.asarray(knl.kernel_column(spec.dim_i, cache, col))
+    c2 = np.asarray(knl.kernel_column_compressed(spec.dim_i, cache, col))
+    np.testing.assert_allclose(c2, c1, rtol=1e-9, atol=1e-12)
+
+    res, _ = pivoted_cholesky(spec, cache, max_rank=16)
+    assert res.L.shape == (cache.n, 16)
+    assert (np.asarray(res.pivot_values) > 0).all()

@@ -119,3 +119,38 @@ def test_prediction_parity_with_reference(analytic_model, task):
     np.testing.assert_allclose(
         E_our, E_ref, rtol=1e-7, atol=1e-9 * np.abs(E_ref).max()
     )
+
+
+@requires_reference
+def test_load_reference_produced_model(ethanol_ds):
+    """A model npz produced by the REFERENCE's GDMLTrain (create_task ->
+    analytic train) loads into our Predictor and predicts identically to the
+    reference's own GDMLPredict — the reverse of
+    test_prediction_parity_with_reference."""
+    from sgdml.predict import GDMLPredict
+    from sgdml.train import GDMLTrain
+
+    ds = {k: np.asarray(v) for k, v in ethanol_ds.items()}
+    gdml = GDMLTrain(max_processes=1)
+    try:
+        ref_task = gdml.create_task(
+            ds, 14, ds, 8, sig=5, lam=1e-10, use_sym=False, use_E=True,
+            use_E_cstr=False, use_cprsn=False, solver="analytic",
+        )
+        ref_model = gdml.train(ref_task, callback=lambda *a, **k: None)
+    finally:
+        # the reference keeps a module-global singleton guard
+        del gdml
+
+    ref_pred = GDMLPredict(ref_model, max_processes=1)
+    R = ds["R"][:6].reshape(6, -1)
+    E_ref, F_ref = ref_pred.predict(R)
+
+    ours = Predictor({k: v for k, v in ref_model.items()})
+    E_our, F_our = ours.predict(R)
+    np.testing.assert_allclose(
+        F_our.reshape(6, -1), F_ref, rtol=1e-6, atol=1e-8 * np.abs(F_ref).max()
+    )
+    np.testing.assert_allclose(
+        E_our, E_ref, rtol=1e-6, atol=1e-8 * np.abs(E_ref).max()
+    )

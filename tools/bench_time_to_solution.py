@@ -27,7 +27,8 @@ from mlff_tpu.experiments.rule_of_thumb import get_params, rule_of_thumb  # noqa
 from mlff_tpu.models.gdml import Trainer  # noqa: E402
 from mlff_tpu.models.task import create_task  # noqa: E402
 
-REFERENCE_MIN = 0.8  # minutes, rule_of_thumb.csv row 0 (ethanol, n=31,400)
+# minutes, rule_of_thumb.csv (ethanol): row 0 n=31,400 -> 0.8, row 7 n=75,000 -> 2.7
+REFERENCE_MIN = {31482: 0.8, 75006: 2.7}
 
 
 def main():
@@ -54,7 +55,7 @@ def main():
     t_cg = float(model.get("total_time_cg", np.nan))
     solver_s = t_pre + t_cg  # the reference's 0.8 min is solver-phase only
     out = {
-        "metric": "time_to_solution_ethanol_n31482",
+        "metric": f"time_to_solution_ethanol_n{n}",
         "value": round(solver_s, 2),
         "unit": "s",
         "converged": bool(model["is_conv"]),
@@ -63,7 +64,7 @@ def main():
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(total, 2),
-        "vs_reference_0.8min": round(REFERENCE_MIN * 60 / solver_s, 2),
+        "vs_baseline": round(REFERENCE_MIN.get(n, 0.8) * 60 / solver_s, 2),
     }
     print(json.dumps(out))
 
