@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,9 +103,12 @@ class Trainer:
         solver = str(task["solver_name"])
         assert solver in ("analytic", "cg", "cg_cholesky"), solver
 
+        t_setup = time.perf_counter()
         spec, S, X, Jc, P_idx = self.build_kernel_inputs(task)
         y, y_std, E_train_mean = self.labels(task)
         n_train = X.shape[0]
+        log.info("train setup (descriptors+labels): %.1fs",
+                 time.perf_counter() - t_setup)
 
         if n_columns is not None:
             break_percentage = n_columns / len(y)
@@ -136,7 +140,10 @@ class Trainer:
         elif solver == "cg":
             assert break_percentage is None or 0 <= break_percentage <= 1
             task["lam"] = CG_LAM  # stronger ridge for the iterative path
+            t_cache = time.perf_counter()
             cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), CG_LAM)
+            jax.block_until_ready(cache.A_exp)
+            log.info("kernel cache build: %.1fs", time.perf_counter() - t_cache)
             res = solve_iterative(
                 spec, cache, task, y, y_std,
                 break_percentage=break_percentage,
@@ -184,6 +191,7 @@ class Trainer:
                 "total_time_solve": time.perf_counter() - t0,
             }
 
+        t_model = time.perf_counter()
         # model boundary: reference sign convention
         alphas_F_psd = alphas_psd
         alphas_E_ref = None
@@ -215,6 +223,7 @@ class Trainer:
             else:
                 model["c"] = c
 
+        log.info("model finalize: %.1fs", time.perf_counter() - t_model)
         if self.return_K and K_dense is not None:
             return model, K_dense, alphas_psd
         return model

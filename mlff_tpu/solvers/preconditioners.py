@@ -268,13 +268,17 @@ def _nystrom_factor_eigh(
     # different roundoff path through the TPU's emulated-f64 GEMMs and its
     # mismatch destroyed preconditioner quality (CG at n=31k went from
     # 1213 iterations to non-converging within 40x that budget).
-    K_mm = np.asarray(_gather_rows(K_nm, idxs_dev))        # d2h (m, m)
+    m = len(inducing_idxs)
+    tril = jnp.asarray(np.tril_indices(m))
+    K_mm = _unpack_sym(np.asarray(
+        _gather_rows_tril(K_nm, idxs_dev, tril)), m)       # d2h m(m+1)/2
     w1, V1 = scipy.linalg.eigh(K_mm, driver="evd", overwrite_a=True)
     tol1 = max(w1[-1], 0.0) * rank_tol
     w1_isqrt = np.where(w1 > tol1, 1.0 / np.sqrt(np.maximum(w1, tol1)), 0.0)
     W1 = jnp.asarray(V1 * w1_isqrt[None, :])               # h2d (m, m)
     B_t = _whiten_nm(K_nm, W1, n_chunks)                   # (n_pad, m), donates
-    inner = np.asarray(_gram_nm(B_t, n_chunks))            # d2h (m, m)
+    inner = _unpack_sym(np.asarray(
+        _gram_nm_tril(B_t, tril, n_chunks)), m)            # d2h m(m+1)/2
     w2, V2 = scipy.linalg.eigh(inner, driver="evd", overwrite_a=True)
     s2 = 1.0 / np.sqrt(np.maximum(w2, 0.0) + lam)
     W2 = jnp.asarray(V2 * s2[None, :])                     # h2d (m, m)
@@ -290,6 +294,30 @@ _GEMM_ROW_CHUNK = 4096
 @jax.jit
 def _gather_rows(K_nm: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
     return K_nm[idxs]
+
+
+@jax.jit
+def _gather_rows_tril(K_nm, idxs, tril):
+    """Lower triangle of K_nm[idxs] as a packed vector (the symmetric m x m
+    blocks cross the ~16 MB/s host tunnel; packing halves the bytes)."""
+    K_mm = K_nm[idxs]
+    return K_mm[tril[0], tril[1]]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gram_nm_tril(B_t, tril, n_chunks):
+    G = _gram_nm(B_t, n_chunks)
+    return G[tril[0], tril[1]]
+
+
+def _unpack_sym(packed: np.ndarray, m: int) -> np.ndarray:
+    """Packed lower triangle -> full symmetric (m, m) on host."""
+    M = np.zeros((m, m), dtype=packed.dtype)
+    il = np.tril_indices(m)
+    M[il] = packed
+    M = M + M.T
+    M[np.diag_indices(m)] /= 2.0
+    return M
 
 
 @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
