@@ -73,13 +73,6 @@ def build_preconditioner(
     info: dict = {}
     t0 = time.perf_counter()
 
-    if use_E_cstr and strategy in ("eigvec_precon_block_diagonal",
-                                   "eigvec_precon_atomic_interactions"):
-        raise NotImplementedError(
-            f"use_E_cstr with {strategy!r} is not supported (the masked "
-            "variants assume the pure force-block structure)"
-        )
-
     if strategy == "cholesky":
         res, info_chol = pivoted_cholesky(
             spec, cache, max_rank=k, use_E_cstr=use_E_cstr

@@ -533,26 +533,42 @@ def eigvec_preconditioner(
     ``svd_cache`` (optional dict) memoizes (U, s) across k-sweeps the way the
     reference's glob_U/glob_s module globals do (iterative_solver.py:1291-1303)
     — but explicitly, per caller.
+
+    Two deliberate deviations from the reference (not replicated as bugs):
+      * its 'eigvec_precon_block_diagonal' zeroes the ENTIRE matrix — the
+        intended masked assignment is commented out in favor of
+        ``K[np.ones_like(K, dtype=bool)] = 0`` (iterative_solver.py:1259-1262);
+        here the documented intent (keep per-point diagonal blocks) is applied.
+      * with ``use_E_cstr`` its (n, n)-shaped masks crash against the
+        (n + N)-extended matrix (iterative_solver.py:1241-1252); here the
+        masks extend over the E-constraint rows: 'block_diagonal' keeps each
+        point's force block, its force<->own-energy coupling, and the energy
+        diagonal; 'atomic_interactions' keeps the atomic 3x3 blocks plus the
+        energy diagonal (cross block dropped).
     """
     key = ("svd", variant, use_E_cstr)
     if svd_cache is not None and key in svd_cache:
         U, s = svd_cache[key]
     else:
         if use_E_cstr:
-            if variant != "eigvec_precon":
-                raise NotImplementedError(
-                    f"use_E_cstr with {variant!r} (masked variants assume "
-                    "pure force-block structure)"
-                )
             K = np.asarray(knl.assemble_full_ecstr(spec, cache))
         else:
             K = np.asarray(knl.assemble_full(spec, cache))
         n = K.shape[0]
         T = spec.dim_i
+        N = cache.n_train
         if variant == "eigvec_precon_block_diagonal":
             mask = scipy.linalg.block_diag(
-                *([np.ones((T, T), dtype=bool)] * cache.n_train)
-            )
+                *([np.ones((T, T), dtype=bool)] * N)
+            ).astype(bool)
+            if use_E_cstr:
+                ext = np.zeros((n, n), dtype=bool)
+                ext[: T * N, : T * N] = mask
+                for i in range(N):
+                    ext[T * i : T * (i + 1), T * N + i] = True  # F_i <-> E_i
+                    ext[T * N + i, T * i : T * (i + 1)] = True
+                    ext[T * N + i, T * N + i] = True            # E_i diag
+                mask = ext
             K = np.where(mask, K, 0.0)
         elif variant == "eigvec_precon_atomic_interactions":
             # zero entries below threshold except 3x3 atomic diagonal blocks
@@ -562,7 +578,12 @@ def eigvec_preconditioner(
             A = spec.n_atoms
             for a in range(A):
                 atomic[3 * a : 3 * (a + 1), 3 * a : 3 * (a + 1)] = True
-            keep = np.tile(atomic, (cache.n_train, cache.n_train))
+            keep = np.tile(atomic, (N, N))
+            if use_E_cstr:
+                ext = np.zeros((n, n), dtype=bool)
+                ext[: T * N, : T * N] = keep
+                ext[T * N :, T * N :] = np.eye(N, dtype=bool)   # E diag
+                keep = ext
             delete[keep] = False
             assert (delete != delete.T).sum() == 0, "only symmetric deletes allowed"
             K = np.where(delete, 0.0, K)

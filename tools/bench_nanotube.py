@@ -1,12 +1,13 @@
-"""Time-to-solution benchmark at the paper's n = 31,400 scale.
+"""Time-to-solution on the AIMS-nanotube-sized system (d = 370).
 
-Trains an ethanol-shaped system (n_train = 1166, n = 31,482) to the
-production tolerance with the rule-of-thumb preconditioner rank and reports
-wall-clock phase times.  Reference comparison: data/rule_of_thumb.csv row 0
-records 0.8 min optimal PCG solve time for ethanol at n = 31,400 on a
-cluster GPU/CPU node.
+The nanotube is the reference's hardest headline system: at n = 31,400 its
+recorded optimal PCG solve time is 17.9 min (data/rule_of_thumb.csv row 6;
+BASELINE.md).  n = 3 * 370 * n_train, so n_train = 28 gives n = 31,080.
+The reference's AIMS nanotube has no symmetries beyond identity
+(find_perms on the real geometry; synthetic random geometry likewise), so
+the permutation group is trivial here.
 
-Usage: python tools/bench_time_to_solution.py [--n-train 1166]
+Usage: python tools/bench_nanotube.py [--n-train 28] [--precon lev_random]
 """
 
 import argparse
@@ -27,41 +28,40 @@ from mlff_tpu.experiments.rule_of_thumb import get_params, rule_of_thumb  # noqa
 from mlff_tpu.models.gdml import Trainer  # noqa: E402
 from mlff_tpu.models.task import create_task  # noqa: E402
 
-# minutes, rule_of_thumb.csv (ethanol): row 0 n=31,400 -> 0.8, row 7 n=75,000 -> 2.7
-REFERENCE_MIN = {31482: 0.8, 75006: 2.7}
+REFERENCE_MIN_N31400 = 17.9  # data/rule_of_thumb.csv row 6 (optimal_runtime_min)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n-train", type=int, default=1166)
-    p.add_argument("--sig", type=float, default=5.0)
+    p.add_argument("--n-train", type=int, default=28)
+    p.add_argument("--sig", type=float, default=10.0)
+    p.add_argument("--precon", default="lev_random")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    ds = make_dataset("ethanol", n_samples=args.n_train + 60, seed=11)
-    task = create_task(ds, args.n_train, ds, n_valid=50, sig=args.sig,
+    ds = make_dataset("nanotube", n_samples=args.n_train + 12, seed=3)
+    task = create_task(ds, args.n_train, ds, n_valid=10, sig=args.sig,
                        solver="cg", use_sym=False)
     n = int(np.asarray(task["F_train"]).size)
-    m, k_unity, _ = get_params("ethanol")
+    m, k_unity, _ = get_params("nanotube")
     k_rot = rule_of_thumb(n, k_unity, m)
     print(f"n = {n}, rule-of-thumb k = {k_rot}", file=sys.stderr, flush=True)
-
-    t0 = time.perf_counter()
 
     def progress(it, resid, eff):
         print(f"  cg it={it} resid={resid:.3e} eff={eff}",
               file=sys.stderr, flush=True)
 
+    t0 = time.perf_counter()
     model = Trainer().train(
-        task, n_columns=k_rot, str_preconditioner="lev_random",
+        task, n_columns=k_rot, str_preconditioner=args.precon,
         callback=progress,
     )
     total = time.perf_counter() - t0
     t_pre = float(model.get("total_time_preconditioner", np.nan))
     t_cg = float(model.get("total_time_cg", np.nan))
-    solver_s = t_pre + t_cg  # the reference's 0.8 min is solver-phase only
+    solver_s = t_pre + t_cg
     out = {
-        "metric": f"time_to_solution_ethanol_n{n}",
+        "metric": f"time_to_solution_nanotube_n{n}",
         "value": round(solver_s, 2),
         "unit": "s",
         "converged": bool(model["is_conv"]),
@@ -70,7 +70,7 @@ def main():
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(total, 2),
-        "vs_baseline": round(REFERENCE_MIN.get(n, 0.8) * 60 / solver_s, 2),
+        "vs_baseline": round(REFERENCE_MIN_N31400 * 60 / solver_s, 2),
     }
     print(json.dumps(out))
 
