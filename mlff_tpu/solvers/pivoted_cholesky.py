@@ -82,7 +82,7 @@ def _pivoted_cholesky_device(
         L = L.at[:, m].set(newcol)
         diag = diag - newcol**2
         chosen = chosen.at[p].set(True)
-        pivots = pivots.at[m].set(p)
+        pivots = pivots.at[m].set(p.astype(jnp.int32))
         pvals = pvals.at[m].set(pval)
         return (L, diag, chosen, pivots, pvals)
 
@@ -140,7 +140,7 @@ def _pivoted_cholesky_device_ecstr(
         L = L.at[:, m].set(newcol)
         diag = diag - newcol**2
         chosen = chosen.at[p].set(True)
-        pivots = pivots.at[m].set(p)
+        pivots = pivots.at[m].set(p.astype(jnp.int32))
         pvals = pvals.at[m].set(pval)
         return (L, diag, chosen, pivots, pvals)
 

@@ -79,6 +79,54 @@ def woodbury_apply(P: "WoodburyPreconditioner", v: jnp.ndarray) -> jnp.ndarray:
     return (v - jnp.sum(P.T * w[:, None], axis=0)) / P.lam
 
 
+class WoodburySplitPreconditioner(NamedTuple):
+    """Woodbury apply through the SPLIT factors B (n, m) and W2 (m, m):
+
+        P^-1 v = lam^-1 (v - B W2 (W2^T (B^T v)))
+
+    Equivalent to the single-factor form with T = W2^T B^T, but materially
+    more robust at scale: the fused T is computed by an (m, m) x (m, n)
+    device GEMM whose rounding noise — amplified by ||W2|| ~ lam^-1/2 — gets
+    FROZEN into T.  At n = 75k that excess pushed 35 eigenvalues of T T^T
+    above 1 (max 1 + 1.7e-6), making P^-1 indefinite (most negative
+    eigenvalue ~ -(excess)/lam = -1.7e4) and stalling CG with an oscillating
+    residual.  Applying through B and W2 keeps the frozen operator the
+    EXACT symmetric contraction B W2 W2^T B^T (Gram-consistent by the
+    factorization's construction); per-apply rounding is fresh, unamplified
+    noise that PCG absorbs.  Per-iteration cost is identical: the two (n, m)
+    passes dominate; the extra two (m, m) GEMVs are O(m/n) of that.
+
+    B is padded with zero COLUMNS (and W2 with zero rows/cols) to a multiple
+    of 128 for compile-shape bucketing, like WoodburyPreconditioner.T.
+    """
+
+    B: jnp.ndarray    # (n, m) whitened columns
+    W2: jnp.ndarray   # (m, m) inner inverse-sqrt factor
+    lam: jnp.ndarray  # ()
+
+    def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
+        return woodbury_split_apply(self, v)
+
+    def as_op(self):
+        return woodbury_split_apply, self
+
+    def fused_T(self) -> jnp.ndarray:
+        """(m, n) fused factor W2^T B^T — DIAGNOSTIC/TEST USE ONLY (the
+        production apply deliberately avoids materializing this product;
+        see the class docstring)."""
+        return (self.B @ self.W2).T
+
+
+def woodbury_split_apply(
+    P: "WoodburySplitPreconditioner", v: jnp.ndarray
+) -> jnp.ndarray:
+    """lam^-1 (v - B W2 W2^T B^T v), VPU broadcast-reduce form for the big
+    (n, m) passes (see woodbury_apply for why not GEMVs)."""
+    u = jnp.sum(P.B * v[:, None], axis=0)               # (m,)  == B^T v
+    x = P.W2 @ (P.W2.T @ u)                             # (m,)  tiny GEMVs
+    return (v - jnp.sum(P.B * x[None, :], axis=1)) / P.lam
+
+
 def cho_factor_stable(M: np.ndarray, max_tries: int = 20) -> np.ndarray:
     """Lower Cholesky factor with escalating diagonal regularization.
 
@@ -102,29 +150,6 @@ def cho_factor_stable(M: np.ndarray, max_tries: int = 20) -> np.ndarray:
     raise np.linalg.LinAlgError("cho_factor_stable failed to regularize matrix")
 
 
-def device_chol_stable(M: jnp.ndarray, max_tries: int = 8) -> jnp.ndarray:
-    """Lower Cholesky on device with escalating jitter.
-
-    Device counterpart of ``cho_factor_stable``: jnp.linalg.cholesky returns
-    NaNs instead of raising, so failure is detected by a one-scalar transfer
-    and retried with ~10x stronger diagonal regularization.  Keeping the
-    factorization on device matters here: device->host transfers through the
-    TPU tunnel were measured at <1 MB/s, so shipping an (m, n) factor to
-    LAPACK costs minutes while the on-device solve takes milliseconds.
-    """
-    m = M.shape[0]
-    eye = jnp.eye(m, dtype=M.dtype)
-    scale = float(jnp.max(jnp.abs(jnp.diagonal(M))))
-    jitter = 0.0
-    for i in range(max_tries):
-        L = jnp.linalg.cholesky(M + jitter * eye)
-        if not bool(jnp.isnan(jnp.sum(L))):
-            return L
-        jitter = max(jitter * 10.0, scale * 1e-14)
-        log.warning("device_chol_stable: escalating jitter to %.2e", jitter)
-    raise np.linalg.LinAlgError("device_chol_stable failed to regularize matrix")
-
-
 def _pad_factor_rows(T: jnp.ndarray) -> jnp.ndarray:
     """Pad (k, n) -> (ceil(k/128)*128, n) with zero rows (inert in apply)."""
     k = T.shape[0]
@@ -134,40 +159,44 @@ def _pad_factor_rows(T: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((k_pad, T.shape[1]), T.dtype).at[:k].set(T)
 
 
-def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburyPreconditioner:
-    """Build the Woodbury apply operator from a low-rank factor L (n, k).
+def _pad_split(B: jnp.ndarray, W2: jnp.ndarray):
+    """Pad B (n, m) with zero columns and W2 (m, m) with zero rows/cols to a
+    multiple of 128 (inert in the split apply; buckets compile shapes)."""
+    m = B.shape[1]
+    m_pad = -(-m // 128) * 128
+    if m_pad == m:
+        return B, W2
+    Bp = jnp.zeros((B.shape[0], m_pad), B.dtype).at[:, :m].set(B)
+    Wp = jnp.zeros((m_pad, m_pad), W2.dtype).at[:m, :m].set(W2)
+    return Bp, Wp
 
-    Fully on device (see device_chol_stable for why); the O(k^2 n) Gram and
-    triangular solve are row-chunked like the Nyström factorization — an
-    unchunked (n, k) f64 GEMM's emulation operand splits OOM HBM at
-    n >~ 50k."""
+
+def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburySplitPreconditioner:
+    """Build the Woodbury apply operator from a low-rank factor L (n, k):
+    P^-1 = lam^-1 (I - L (lam I + L^T L)^-1 L^T), applied through the split
+    factors (B = L, W2 = chol(lam I + L^T L)^-T computed by host LAPACK).
+
+    The O(k^2 n) Gram is row-chunked on device (an unchunked (n, k) f64
+    GEMM's emulation operand splits OOM HBM at n >~ 50k); only the packed
+    (k, k) Gram crosses the host tunnel.  The split apply avoids freezing
+    trsm noise into a (k, n) product — see WoodburySplitPreconditioner."""
     L = jnp.asarray(L)
     n, k = L.shape
     n_chunks = max(1, -(-n // _GEMM_ROW_CHUNK))
     pad = n_chunks * _GEMM_ROW_CHUNK - n
+    Lp = L
     if pad and n_chunks > 1:
-        L = jnp.concatenate([L, jnp.zeros((pad, k), L.dtype)], axis=0)
+        Lp = jnp.concatenate([L, jnp.zeros((pad, k), L.dtype)], axis=0)
     else:
-        n_chunks, pad = 1, 0
-    inner = _gram_nm(L, n_chunks) + lam * jnp.eye(k, dtype=L.dtype)
-    G = device_chol_stable(inner)
-    T = _trsm_chunked(G, L, n_chunks)
-    if pad:
-        T = T[:, :n]
-    return WoodburyPreconditioner(
-        T=_pad_factor_rows(T), lam=jnp.asarray(lam, L.dtype)
+        n_chunks = 1
+    tril = jnp.asarray(np.tril_indices(k))
+    inner = _unpack_sym(
+        np.asarray(_gram_nm_tril(Lp, tril, n_chunks)), k)  # d2h k(k+1)/2
+    W2 = jnp.asarray(_host_inner_isqrt(inner, lam, "chol"))
+    B, W2 = _pad_split(L, W2)
+    return WoodburySplitPreconditioner(
+        B=B, W2=W2, lam=jnp.asarray(lam, L.dtype)
     )
-
-
-@partial(jax.jit, static_argnums=(2,))
-def _trsm_chunked(G: jnp.ndarray, L: jnp.ndarray, n_chunks: int):
-    """T = G^-1 L^T (k, n), RHS chunked over the n axis."""
-    n, k = L.shape
-    out = jax.lax.map(
-        lambda Lb: jax.scipy.linalg.solve_triangular(G, Lb.T, lower=True),
-        L.reshape(n_chunks, -1, k),
-    )                                   # (n_chunks, k, chunk)
-    return out.transpose(1, 0, 2).reshape(k, n)
 
 
 def nystrom_preconditioner(
@@ -212,16 +241,24 @@ def nystrom_preconditioner(
         K_nm = knl.assemble_columns(spec, cache, inducing_idxs)  # (n, m) PSD
     K_nm.block_until_ready()
     t1 = _time.perf_counter()
-    if method == "eigh":
-        T = _nystrom_factor_eigh(K_nm, inducing_idxs, lam, rank_tol)
+    if method in ("eigh", "chol_host"):
+        B_t, W2 = _nystrom_factor_split(
+            K_nm, inducing_idxs, lam, rank_tol,
+            host_decomp="chol" if method == "chol_host" else "eigh",
+        )
+        B_t.block_until_ready()
+        B, W2 = _pad_split(B_t, W2)
+        P = WoodburySplitPreconditioner(
+            B=B, W2=W2, lam=jnp.asarray(lam, B.dtype)
+        )
     elif method == "chol":
         T = _nystrom_factor_chol(K_nm, inducing_idxs, lam)
+        T.block_until_ready()
+        P = WoodburyPreconditioner(
+            T=_pad_factor_rows(T), lam=jnp.asarray(lam, T.dtype)
+        )
     else:
         raise ValueError(f"unknown nystrom method {method!r}")
-    T.block_until_ready()
-    P = WoodburyPreconditioner(
-        T=_pad_factor_rows(T), lam=jnp.asarray(lam, T.dtype)
-    )
     log.info(
         "nystrom build (%s): columns %.1fs, factorization %.1fs",
         method, t1 - t0, _time.perf_counter() - t1,
@@ -229,10 +266,66 @@ def nystrom_preconditioner(
     return P
 
 
-def _nystrom_factor_eigh(
-    K_nm: jnp.ndarray, inducing_idxs: np.ndarray, lam: float, rank_tol: float
-) -> jnp.ndarray:
-    """Deterministic T = (W2^T B) with B = W1^T K_mn, via two host eighs.
+def _host_whiten_factor(M: np.ndarray, rank_tol: float, host_decomp: str):
+    """Host-LAPACK W with W^T M W ~ I (pseudo-inverse whitening).
+
+    'eigh': V diag(w^-1/2) with eigenvalues clamped at rank_tol * w_max.
+    'chol': L^-T from a deterministic escalating-jitter Cholesky of
+      M + j*I, j = rank_tol * diag_max * 4^i — ~10x cheaper than eigh on
+      host (this machine has 2 cores: dsyevd at m=3753 is 14.4 s, potrf +
+      trtri ~2 s) and measured iteration-count-neutral (tests/test_solvers).
+    """
+    m = M.shape[0]
+    if host_decomp == "eigh":
+        w1, V1 = scipy.linalg.eigh(M, driver="evd", overwrite_a=True)
+        tol1 = max(w1[-1], 0.0) * rank_tol
+        wi = np.where(w1 > tol1, 1.0 / np.sqrt(np.maximum(w1, tol1)), 0.0)
+        return V1 * wi[None, :]
+    j0 = float(np.abs(np.diagonal(M)).max()) * rank_tol
+    for i in range(16):
+        try:
+            L = scipy.linalg.cholesky(
+                M + (j0 * 4.0**i) * np.eye(m), lower=True)
+        except scipy.linalg.LinAlgError:
+            continue
+        if i:
+            log.info("whiten chol: jitter escalated to %.1e rel", rank_tol * 4.0**i)
+        return scipy.linalg.lapack.dtrtri(L, lower=1)[0].T
+    raise np.linalg.LinAlgError("whiten chol failed to regularize")
+
+
+def _host_inner_isqrt(inner: np.ndarray, lam: float, host_decomp: str):
+    """Host-LAPACK W2 with W2 W2^T ~ (inner + lam I)^-1 (inner = Gram of the
+    device-computed B, PSD up to device-GEMM roundoff).
+
+    'eigh': V diag((max(w,0)+lam)^-1/2) — exact pseudo-inverse scaling.
+    'chol': L^-T of inner + (lam + j) I with the deterministic ladder
+      j = lam * 4^i (the Gram's roundoff eigenvalues are ~-1e-10 * w_max
+      under TPU f64-emulated GEMMs, the same order as lam itself)."""
+    m = inner.shape[0]
+    if host_decomp == "eigh":
+        w2, V2 = scipy.linalg.eigh(inner, driver="evd", overwrite_a=True)
+        return V2 * (1.0 / np.sqrt(np.maximum(w2, 0.0) + lam))[None, :]
+    for i in range(16):
+        j = 0.0 if i == 0 else lam * 4.0 ** (i - 1)
+        try:
+            L = scipy.linalg.cholesky(
+                inner + (lam + j) * np.eye(m), lower=True)
+        except scipy.linalg.LinAlgError:
+            continue
+        if i:
+            log.info("inner chol: extra jitter escalated to %.1e", j)
+        return scipy.linalg.lapack.dtrtri(L, lower=1)[0].T
+    raise np.linalg.LinAlgError("inner chol failed to regularize")
+
+
+def _nystrom_factor_split(
+    K_nm: jnp.ndarray, inducing_idxs: np.ndarray, lam: float, rank_tol: float,
+    host_decomp: str = "eigh",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split Nyström factorization (B_t (n, m), W2 (m, m)) with
+    B = K_nm W1, W2 W2^T = (B^T B + lam I)^+, via two host decompositions
+    (eigh by default, Cholesky with ``host_decomp='chol'``).
 
     W1 = V1 diag(w1^-1/2 clamped)  (K_mm = V1 w1 V1^T, pseudo-inverse whiten)
     W2 = V2 diag((max(w2,0)+lam)^-1/2)  (B B^T = V2 w2 V2^T)
@@ -272,16 +365,32 @@ def _nystrom_factor_eigh(
     tril = jnp.asarray(np.tril_indices(m))
     K_mm = _unpack_sym(np.asarray(
         _gather_rows_tril(K_nm, idxs_dev, tril)), m)       # d2h m(m+1)/2
-    w1, V1 = scipy.linalg.eigh(K_mm, driver="evd", overwrite_a=True)
-    tol1 = max(w1[-1], 0.0) * rank_tol
-    w1_isqrt = np.where(w1 > tol1, 1.0 / np.sqrt(np.maximum(w1, tol1)), 0.0)
-    W1 = jnp.asarray(V1 * w1_isqrt[None, :])               # h2d (m, m)
+    W1 = jnp.asarray(_host_whiten_factor(K_mm, rank_tol, host_decomp))
     B_t = _whiten_nm(K_nm, W1, n_chunks)                   # (n_pad, m), donates
     inner = _unpack_sym(np.asarray(
         _gram_nm_tril(B_t, tril, n_chunks)), m)            # d2h m(m+1)/2
-    w2, V2 = scipy.linalg.eigh(inner, driver="evd", overwrite_a=True)
-    s2 = 1.0 / np.sqrt(np.maximum(w2, 0.0) + lam)
-    W2 = jnp.asarray(V2 * s2[None, :])                     # h2d (m, m)
+    W2 = jnp.asarray(_host_inner_isqrt(inner, lam, host_decomp))  # h2d (m, m)
+    return (B_t[:n] if pad else B_t), W2
+
+
+def _nystrom_factor_eigh(
+    K_nm: jnp.ndarray, inducing_idxs: np.ndarray, lam: float, rank_tol: float,
+    host_decomp: str = "eigh",
+) -> jnp.ndarray:
+    """Fused factor T = W2^T B^T (m, n) — the single-array form, kept for
+    leverage-score computation and small-m diagnostics.  NOT used for the
+    production preconditioner apply: at large n the project GEMM's frozen
+    rounding noise (amplified by ||W2|| ~ lam^-1/2) pushes singular values
+    of T above 1 and makes the Woodbury apply indefinite — see
+    WoodburySplitPreconditioner."""
+    B_t, W2 = _nystrom_factor_split(
+        K_nm, inducing_idxs, lam, rank_tol, host_decomp)
+    n = B_t.shape[0]
+    n_chunks = max(1, -(-n // _GEMM_ROW_CHUNK))
+    pad = n_chunks * _GEMM_ROW_CHUNK - n
+    if pad:
+        B_t = jnp.concatenate(
+            [B_t, jnp.zeros((pad, B_t.shape[1]), B_t.dtype)], axis=0)
     T = _project_factor_nm(B_t, W2, n_chunks)              # (m, n_pad), donates
     return T[:, :n] if pad else T
 

@@ -58,9 +58,12 @@ np.testing.assert_allclose(full, ref, rtol=1e-10, atol=1e-12)
 n = cache.n
 idxs = np.sort(rng.choice(n, n // 3, replace=False))
 P = pc.nystrom_preconditioner(spec, cache, idxs, 1e-10)
-P_sh = pc.WoodburyPreconditioner(
-    T=jax.device_put(
-        P.T, jax.sharding.NamedSharding(flat, jax.sharding.PartitionSpec(None, "rows"))
+P_sh = pc.WoodburySplitPreconditioner(
+    B=jax.device_put(
+        P.B, jax.sharding.NamedSharding(flat, jax.sharding.PartitionSpec("rows", None))
+    ),
+    W2=jax.device_put(
+        P.W2, jax.sharding.NamedSharding(flat, jax.sharding.PartitionSpec(None, None))
     ),
     lam=P.lam,
 )

@@ -35,7 +35,7 @@ def _problem(lam):
 def test_ir_converges_at_moderate_lambda():
     lam = 1e-6
     spec, cache, P, b = _problem(lam)
-    res = ir_pcg_kernel(spec, cache, b, P.T, lam, tol=1e-4, inner_tol=1e-2,
+    res = ir_pcg_kernel(spec, cache, b, P.fused_T(), lam, tol=1e-4, inner_tol=1e-2,
                         inner_maxiter=300)
     assert res.converged
     assert res.outer_iters <= 6
@@ -52,7 +52,7 @@ def test_ir_detects_f32_floor_at_production_lambda():
     silently return garbage."""
     lam = 1e-10
     spec, cache, P, b = _problem(lam)
-    res = ir_pcg_kernel(spec, cache, b, P.T, lam, tol=1e-4, inner_tol=1e-2,
+    res = ir_pcg_kernel(spec, cache, b, P.fused_T(), lam, tol=1e-4, inner_tol=1e-2,
                         inner_maxiter=100, max_outer=3)
     assert not res.converged
     assert res.outer_iters <= 3  # stalls early instead of looping forever

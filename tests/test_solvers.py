@@ -74,7 +74,7 @@ def test_pcg_matches_scipy_preconditioned_on_kernel(setup):
 
     P = pc.nystrom_preconditioner(spec, cache, np.sort(
         np.random.default_rng(0).choice(n, n // 3, replace=False)), LAM)
-    T = np.asarray(P.T)
+    T = np.asarray(P.fused_T())
     M_dense = scipy.sparse.linalg.LinearOperator(
         (n, n), matvec=lambda v: (v - T.T @ (T @ v)) / LAM
     )
@@ -264,3 +264,38 @@ def test_cho_factor_stable_on_indefinite():
     M = M + M.T  # indefinite
     L = pc.cho_factor_stable(M.copy())
     assert np.all(np.isfinite(L))
+
+
+def test_nystrom_chol_host_matches_eigh_quality():
+    """The host-Cholesky factorization path ('chol_host', ~10x cheaper host
+    decompositions than dsyevd on few-core hosts) produces a preconditioner
+    of the same quality as the eigh path: PCG iteration counts match within
+    a few iterations on a production-lambda system."""
+    rng = np.random.default_rng(3)
+    n_atoms, n_train = 5, 40
+    import jax.numpy as jnp_
+    from mlff_tpu.data.synthetic import make_dataset
+    from mlff_tpu.ops import descriptor as dsc_
+    from mlff_tpu.solvers.cg import pcg
+
+    ds = make_dataset("toy5", n_samples=n_train, seed=4, n_atoms=n_atoms)
+    spec = dsc_.make_spec(n_atoms)
+    S = dsc_.incidence_matrix(spec)
+    X, Jc = dsc_.descriptors_from_R(spec, jnp_.asarray(ds["R"]))
+    P_idx = jnp_.asarray(dsc_.desc_perms(np.arange(n_atoms)[None, :]))
+    lam = 1e-10
+    cache = knl.build_cache(X, Jc, S, P_idx, 4.0, lam)
+    n = cache.n
+    idxs = np.sort(rng.choice(n, n // 4, replace=False))
+    y = np.asarray(ds["F"], dtype=np.float64).reshape(-1)[:n]
+    y = jnp.asarray(y / y.std())
+
+    iters = {}
+    for method in ("eigh", "chol_host"):
+        P = pc.nystrom_preconditioner(spec, cache, idxs, lam, method=method)
+        r = pcg((knl.matvec_psd, cache), y, precon=P, tol=1e-4, maxiter=20 * n)
+        assert r.converged, method
+        iters[method] = r.num_iters
+    assert abs(iters["chol_host"] - iters["eigh"]) <= max(
+        3, int(0.05 * iters["eigh"])
+    ), iters

@@ -35,12 +35,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-train", type=int, default=1166)
     p.add_argument("--sig", type=float, default=5.0)
+    p.add_argument("--nystrom-method", default=None,
+                   help="eigh (default) or chol_host")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     ds = make_dataset("ethanol", n_samples=args.n_train + 60, seed=11)
     task = create_task(ds, args.n_train, ds, n_valid=50, sig=args.sig,
                        solver="cg", use_sym=False)
+    if args.nystrom_method:
+        task["nystrom_method"] = args.nystrom_method
     n = int(np.asarray(task["F_train"]).size)
     m, k_unity, _ = get_params("ethanol")
     k_rot = rule_of_thumb(n, k_unity, m)
