@@ -67,7 +67,8 @@ def main():
 
     idxs = pc.select_random(n, args.k, rng)
     P = pc.nystrom_preconditioner(spec, cache, idxs, LAM)
-    t_pc = timeit("woodbury apply", lambda: pc.woodbury_apply(P, v))
+    apply_jit = jax.jit(pc.woodbury_split_apply)
+    t_pc = timeit("woodbury apply", lambda: apply_jit(P, v))
 
     y = v / jnp.linalg.norm(v)
     for chunk in args.chunks:
