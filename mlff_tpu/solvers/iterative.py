@@ -140,7 +140,8 @@ def build_preconditioner(
         assert inducing.shape == (k,), "incorrect number of inducing points"
         P = pc.nystrom_preconditioner(
             spec, cache, inducing, lam, use_E_cstr=use_E_cstr,
-            method=str((task or {}).get("nystrom_method", "eigh")),
+            method=str((task or {}).get("nystrom_method", "chol_host")),
+            apply_impl=str((task or {}).get("apply_impl", "xla")),
         )
 
     else:

@@ -37,6 +37,8 @@ def main():
     p.add_argument("--sig", type=float, default=5.0)
     p.add_argument("--nystrom-method", default=None,
                    help="eigh (default) or chol_host")
+    p.add_argument("--apply-impl", default=None,
+                   help="xla (default) or df64 (Pallas double-f32 kernels)")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
@@ -45,6 +47,8 @@ def main():
                        solver="cg", use_sym=False)
     if args.nystrom_method:
         task["nystrom_method"] = args.nystrom_method
+    if args.apply_impl:
+        task["apply_impl"] = args.apply_impl
     n = int(np.asarray(task["F_train"]).size)
     m, k_unity, _ = get_params("ethanol")
     k_rot = rule_of_thumb(n, k_unity, m)

@@ -56,7 +56,8 @@ def main():
     cache = knl.build_cache(X, Jc, S, P_idx, SIG, LAM)
     n = cache.n
     rng = np.random.default_rng(0)
-    idxs = np.sort(rng.choice(n, args.k, replace=False))
+    lev, order = pc.leverage_scores(spec, cache, LAM, 25, rng)
+    idxs = pc.select_by_leverage("lev_random", lev, order, args.k, rng)
     y = np.asarray(ds["F"], dtype=np.float64).reshape(-1)[:n]
     y = jnp.asarray(y / y.std())
 
@@ -64,7 +65,7 @@ def main():
     print("built", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    r64 = pcg((knl.matvec_psd, cache), y, precon=P, tol=1e-4, maxiter=30000)
+    r64 = pcg((knl.matvec_psd, cache), y, precon=P, tol=1e-4, maxiter=8000)
     t64 = time.perf_counter() - t0
     print(f"f64 apply: iters {r64.num_iters} conv {r64.converged} "
           f"{t64:.1f}s ({t64/max(r64.num_iters,1)*1e3:.1f} ms/iter)", flush=True)
@@ -72,7 +73,7 @@ def main():
     state32 = (P.B.astype(jnp.float32), P.W2, P.lam)
     t0 = time.perf_counter()
     r32 = pcg((knl.matvec_psd, cache), y, precon=(f32_apply, state32),
-              tol=1e-4, maxiter=30000)
+              tol=1e-4, maxiter=8000)
     t32 = time.perf_counter() - t0
     print(f"f32 apply: iters {r32.num_iters} conv {r32.converged} "
           f"{t32:.1f}s ({t32/max(r32.num_iters,1)*1e3:.1f} ms/iter)", flush=True)

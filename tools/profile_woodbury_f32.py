@@ -24,13 +24,17 @@ sys.path.insert(0, "/root/repo")
 import jax.numpy as jnp  # noqa: E402
 
 
-def timeit(label, fn, iters=10):
-    out = fn()
-    jax.block_until_ready(out)
+def timeit(label, fn, args_cycle, iters=8):
+    # Measurement protocol for the axon tunnel (see verify skill):
+    #   * sync with the buffer METHOD (.block_until_ready()); the module
+    #     FUNCTION jax.block_until_ready is a no-op for remote buffers,
+    #   * VARY the inputs each call — identical (executable, args)
+    #     dispatches are memoized server-side and "run" in ~0.1 ms.
+    fn(args_cycle[0]).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out = fn(args_cycle[i % len(args_cycle)])
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     print(f"  {label:44s} {dt*1e3:8.3f} ms", file=sys.stderr, flush=True)
     return dt
@@ -48,6 +52,10 @@ def main():
     B_h = rng.standard_normal((n, m)) / np.sqrt(n)
     v_h = rng.standard_normal(n)
     x_h = rng.standard_normal(m)
+    vN = [jnp.asarray(rng.standard_normal(n)) for _ in range(4)]
+    xN = [jnp.asarray(rng.standard_normal(m)) for _ in range(4)]
+    vN32 = [v.astype(jnp.float32) for v in vN]
+    xN32 = [x.astype(jnp.float32) for x in xN]
     u_ref = B_h.T @ v_h
     y_ref = B_h @ x_h
 
@@ -57,21 +65,26 @@ def main():
     v64 = jnp.asarray(v_h)
     x64 = jnp.asarray(x_h)
 
+    # pure-read bandwidth probes (scale term varies to defeat memoization)
+    sums = jax.jit(lambda B, s: jnp.sum(B) * s)
+    timeit("read-sum f64 B (2.3 GB)", lambda a: sums(B64, a[0]), vN)
+    timeit("read-sum f32 Bh (1.15 GB)", lambda a: sums(Bh, a[0]), vN)
+
     # current f64 VPU forms (baseline)
     red0 = jax.jit(lambda B, v: jnp.sum(B * v[:, None], axis=0))
     red1 = jax.jit(lambda B, x: jnp.sum(B * x[None, :], axis=1))
-    t0 = timeit("f64 reduce axis0 (B^T v)", lambda: red0(B64, v64))
-    t1 = timeit("f64 reduce axis1 (B x)", lambda: red1(B64, x64))
+    t0 = timeit("f64 reduce axis0 (B^T v)", lambda v: red0(B64, v), vN)
+    t1 = timeit("f64 reduce axis1 (B x)", lambda x: red1(B64, x), xN)
 
     # plain f32 GEMVs on the MXU
     v32 = v64.astype(jnp.float32)
     x32 = x64.astype(jnp.float32)
     gemv_t32 = jax.jit(lambda B, v: v @ B)
     gemv32 = jax.jit(lambda B, x: B @ x)
-    timeit("f32 GEMV v @ B (MXU)", lambda: gemv_t32(Bh, v32))
-    timeit("f32 GEMV B @ x (MXU)", lambda: gemv32(Bh, x32))
-    timeit("f32 reduce axis0", lambda: red0(Bh, v32))
-    timeit("f32 reduce axis1", lambda: red1(Bh, x32))
+    timeit("f32 GEMV v @ B (MXU)", lambda v: gemv_t32(Bh, v), vN32)
+    timeit("f32 GEMV B @ x (MXU)", lambda x: gemv32(Bh, x), xN32)
+    timeit("f32 reduce axis0", lambda v: red0(Bh, v), vN32)
+    timeit("f32 reduce axis1", lambda x: red1(Bh, x), xN32)
 
     # f32-pair 3-pass forms (hi/lo split of B and of the vector)
     @jax.jit
@@ -88,8 +101,8 @@ def main():
         y = Bh @ xh + Bh @ xl + Bl @ xh
         return y.astype(jnp.float64)
 
-    tp0 = timeit("f32-pair 3-GEMV B^T v", lambda: pair_bt_v(Bh, Bl, v64))
-    tp1 = timeit("f32-pair 3-GEMV B x", lambda: pair_b_x(Bh, Bl, x64))
+    tp0 = timeit("f32-pair 3-GEMV B^T v", lambda v: pair_bt_v(Bh, Bl, v), vN)
+    tp1 = timeit("f32-pair 3-GEMV B x", lambda x: pair_b_x(Bh, Bl, x), xN)
 
     # accuracy vs f64 oracle
     u64 = np.asarray(red0(B64, v64))
