@@ -205,8 +205,15 @@ def _pcg_drive(
     if maxiter is None:
         maxiter = 10 * n
 
+    t_r0 = time.perf_counter()
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     r0 = b - matvec(x0)
+    r0.block_until_ready()
+    _dt_r0 = time.perf_counter() - t_r0
+    if _dt_r0 > 1.0:
+        import logging
+        logging.getLogger("mlff_tpu").info(
+            "pcg first matvec (executable load/compile): %.1fs", _dt_r0)
     state = CGState(
         x=x0, r=r0, p=jnp.zeros_like(b),
         rho=jnp.asarray(1.0, b.dtype),
