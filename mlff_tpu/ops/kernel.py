@@ -678,11 +678,19 @@ def assemble_columns_compressed(
     spec: DescriptorSpec,
     cache: KernelCache,
     col_idxs: np.ndarray,
-    chunk: int = 16,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Inflation-free PSD kernel columns K[:, col_idxs] (n, k) for large-D
-    molecules (see _columns_compressed_chunk)."""
+    molecules (see _columns_compressed_chunk).
+
+    ``chunk`` (columns per device dispatch) defaults to the largest count
+    whose (N, P, D) per-column intermediates stay under ~1 GB: the nanotube
+    build at chunk=16 was DISPATCH-bound (280 round trips, 339 s for 4,488
+    columns), not compute-bound."""
     col_idxs = np.asarray(col_idxs)
+    if chunk is None:
+        per_col = cache.n_train * max(cache.n_perms, 1) * spec.dim * 8
+        chunk = int(max(16, min(256, 1e9 // max(per_col, 1))))
     T = spec.dim_i
     pts = col_idxs // T
     partial_idx = col_idxs % T

@@ -36,6 +36,17 @@ def main():
     p.add_argument("--n-train", type=int, default=28)
     p.add_argument("--sig", type=float, default=10.0)
     p.add_argument("--precon", default="lev_random")
+    p.add_argument("--labels", default="manufactured",
+                   choices=["manufactured", "dataset"],
+                   help="manufactured: y = (K + lam I) alpha* for a random "
+                        "moderate alpha* — the synthetic random-blob "
+                        "geometry's Morse forces put weight in the kernel's "
+                        "~zero eigendirections, making ||alpha|| ~ 1/lam and "
+                        "the tol=1e-4 system numerically unreachable even in "
+                        "exact f64 (the REAL nanotube's physical forces are "
+                        "smooth).  Manufactured labels exercise the solver "
+                        "at exactly the production (n, d, D, k) shapes with "
+                        "a reachable system.")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
@@ -43,6 +54,25 @@ def main():
     task = create_task(ds, args.n_train, ds, n_valid=10, sig=args.sig,
                        solver="cg", use_sym=False)
     n = int(np.asarray(task["F_train"]).size)
+    if args.labels == "manufactured":
+        import jax.numpy as jnp
+        from mlff_tpu.ops import descriptor as dsc
+        from mlff_tpu.ops import kernel as knl
+
+        spec = dsc.make_spec(int(len(task["z"])))
+        S = dsc.incidence_matrix(spec)
+        X, Jc = dsc.descriptors_from_R(spec, jnp.asarray(task["R_train"]))
+        P_idx = jnp.asarray(np.arange(spec.dim)[None, :])
+        cache = knl.build_cache(X, Jc, S, P_idx, args.sig, 1e-10)
+        rng = np.random.default_rng(5)
+        alpha_star = jnp.asarray(rng.standard_normal(n))
+        y = np.asarray(knl.matvec_psd(cache, alpha_star))
+        # feed through the standard pipeline: train() uses
+        # y = F_train.ravel()/std and solves the PSD system (K + lam I) a =
+        # y (models/gdml.py labels()) — so F_train := (K+lam I) alpha* gives
+        # the manufactured system directly
+        task["F_train"] = y.reshape(np.asarray(task["F_train"]).shape)
+        del cache
     m, k_unity, _ = get_params("nanotube")
     k_rot = rule_of_thumb(n, k_unity, m)
     print(f"n = {n}, rule-of-thumb k = {k_rot}", file=sys.stderr, flush=True)
