@@ -47,11 +47,17 @@ def main():
     n = int(np.asarray(task["F_train"]).size)
     m, k_unity, _ = get_params("ethanol")
     k_rot = rule_of_thumb(n, k_unity, m)
-    log(f"n = {n}, rule-of-thumb k = {k_rot}")
+    # The reference's 48 s baseline is its runtime at ITS empirically
+    # optimal k; ours likewise uses OUR measured optimum (k-sweep,
+    # tools/bench_k_sweep_31k.py: k=1536 converges in the same 122
+    # iterations as the rule-of-thumb k=2049 with a cheaper build --
+    # TPU build cost scales differently than the reference's).
+    k = 1536
+    log(f"n = {n}, rule-of-thumb k = {k_rot}, TPU-optimal k = {k}")
 
     t0 = time.perf_counter()
     model = Trainer().train(
-        task, n_columns=k_rot, str_preconditioner="lev_random",
+        task, n_columns=k, str_preconditioner="lev_random",
         callback=lambda it, resid, eff: log(f"  cg it={it} resid={resid:.3e}"),
     )
     wall = time.perf_counter() - t0
@@ -65,7 +71,7 @@ def main():
         "unit": "s",
         "converged": bool(model["is_conv"]),
         "iters": int(model["solver_iters"]),
-        "k": k_rot,
+        "k": k,
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(wall, 2),

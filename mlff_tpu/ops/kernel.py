@@ -591,8 +591,11 @@ def assemble_columns(
     N = cache.n_train
 
     # large-D molecules: the block paths inflate (D, 3A) Jacobians; switch
-    # to the inflation-free compressed path when that would blow memory
+    # to the inflation-free compressed paths when that would blow memory
+    # (grouped when selections are dense enough to share per-point geometry)
     if spec.dim * T * 8 * max(4, cache.n_perms) > _INFLATION_BUDGET:
+        if len(col_idxs) >= 4 * len(uniq_points):
+            return assemble_columns_compressed_grouped(spec, cache, col_idxs)
         return assemble_columns_compressed(spec, cache, col_idxs)
 
     # the chunked path materializes ALL touched point-blocks
@@ -672,6 +675,80 @@ def _columns_compressed_chunk(
 
     cols = jnp.stack([pts, atoms, xyzs], axis=1)
     return jax.lax.map(one, cols)                           # (C, n)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _columns_compressed_point_group(
+    spec_dim_i: int,
+    cache: KernelCache,
+    j: jnp.ndarray,       # () owning training point
+    ts: jnp.ndarray,      # (g,) partial indices of that point, -1 pads
+    g_chunk: int,
+) -> jnp.ndarray:
+    """All requested kernel columns of ONE training point, batched: (n, g).
+
+    Large-D fast path: the per-column compressed route
+    (_columns_compressed_chunk) recomputes the (N, P, D) geometry per
+    column and runs its D x A Jacobian contraction as a narrow, dispatch-
+    bound op — measured 78 ms/column (~18 f64-GF/s) on the nanotube
+    (D = 68,265).  Dense selections put ~k/N columns on each point (160 at
+    the nanotube's rule-of-thumb k), so batching one point's partials
+    shares the geometry and turns the contraction into one wide
+    (N*g*3, D) x (D, A) GEMM per chunk.  No (D, 3A) inflation anywhere.
+    """
+    sig = cache.sig
+    N = cache.n_train
+    g = ts.shape[0]
+    jcol = _columns_jcol(cache, j[None], ts[None])[0]       # (g, P, D)
+    Xt_j = cache.X[j][cache.P_idx]                          # (P, D)
+    delta = cache.X[:, None, :] - Xt_j[None]                # (N, P, D)
+    nrm = SQRT5 * jnp.linalg.norm(delta, axis=-1)           # (N, P)
+    base = (5.0 / (3.0 * sig**4)) * jnp.exp(-nrm / sig)
+    c_iso = (sig**2 + sig * nrm) * base
+    bdelta = base[..., None] * delta                        # (N, P, D)
+
+    def one_chunk(jc):                                      # (gc, P, D)
+        u = jnp.einsum("npd,spd->nsp", delta, jc)           # (N, gc, P)
+        z = jnp.einsum("nsp,npd->nsd", u, bdelta)           # (N, gc, D)
+        W = jnp.einsum("np,spd->nsd", c_iso, jc)
+        G = W - 5.0 * z
+        out = vec_dot_d_desc(cache.Jc[:, None], cache.S, G)  # (N, gc, A, 3)
+        return out.reshape(N, jc.shape[0], spec_dim_i)
+
+    n_chunks = g // g_chunk
+    outs = jax.lax.map(
+        one_chunk, jcol.reshape(n_chunks, g_chunk, *jcol.shape[1:])
+    )                                                       # (nc, N, gc, T)
+    out = outs.transpose(1, 0, 2, 3).reshape(N, g, spec_dim_i)
+    return out.transpose(0, 2, 1).reshape(N * spec_dim_i, g)
+
+
+def assemble_columns_compressed_grouped(
+    spec: DescriptorSpec,
+    cache: KernelCache,
+    col_idxs: np.ndarray,
+    g_chunk: int = 8,
+) -> jnp.ndarray:
+    """Inflation-free kernel columns for DENSE selections on large-D
+    molecules: one _columns_compressed_point_group dispatch per owning
+    point, partial counts padded to multiples of ``32 * g_chunk`` so the
+    executable is shared across points/sweeps.  col_idxs sorted."""
+    col_idxs = np.asarray(col_idxs)
+    T = spec.dim_i
+    points = col_idxs // T
+    partials = col_idxs % T
+    outs = []
+    bucket = 4 * g_chunk
+    for j in np.unique(points):
+        ts = partials[points == j]
+        g_pad = -(-len(ts) // bucket) * bucket
+        ts_pad = np.full(g_pad, -1, dtype=np.int64)
+        ts_pad[: len(ts)] = ts
+        blk = _columns_compressed_point_group(
+            T, cache, jnp.asarray(j), jnp.asarray(ts_pad), g_chunk
+        )
+        outs.append(blk[:, : len(ts)])
+    return jnp.concatenate(outs, axis=1)                    # (n, k)
 
 
 def assemble_columns_compressed(

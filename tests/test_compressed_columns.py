@@ -53,3 +53,20 @@ def test_large_descriptor_triggers_compressed_path():
         col = np.array(knl.matvec_psd(cache, e))  # writable copy
         col[int(c)] -= 1e-10  # matvec includes the ridge
         np.testing.assert_allclose(comp[:, i], col, rtol=1e-8, atol=1e-11)
+
+
+def test_grouped_compressed_matches_per_column():
+    """assemble_columns_compressed_grouped (dense large-D fast path) equals
+    the per-column compressed oracle, including multi-perm systems and
+    points with uneven partial counts."""
+    perms = np.stack([np.arange(7), np.array([1, 0, 2, 3, 4, 6, 5])])
+    spec, cache = _setup(7, 10, perms=perms)
+    n = cache.n
+    rng = np.random.default_rng(7)
+    # dense-ish selection: several partials per point, uneven
+    idxs = np.sort(rng.choice(n, size=min(n - 1, 5 * cache.n_train),
+                              replace=False))
+    a = np.asarray(knl.assemble_columns_compressed_grouped(
+        spec, cache, idxs, g_chunk=4))
+    b = np.asarray(knl.assemble_columns_compressed(spec, cache, idxs))
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
