@@ -293,6 +293,96 @@ def dataset_from_aims(path: str | Path, name: str | None = None, **kw) -> dict:
     return dataset
 
 
+def dataset_via_ase(
+    path: str | Path, name: str | None = None, theory: str = "unknown",
+    r_unit: str | None = None, e_unit: str | None = None,
+) -> dict:
+    """Create a dataset from any input format ASE can read (reference
+    scripts/sgdml_dataset_via_ase.py behavior, non-interactive: the
+    reference prompts for name/theory/units on stdin — here they are
+    keyword arguments).
+
+    Requires the optional ``ase`` package; frames without attached
+    calculator results are filtered, forces are mandatory, the atom
+    ordering must be constant across frames, and an all-zero cell is
+    treated as "no lattice"."""
+    try:
+        from ase.io import read
+    except ImportError as exc:  # pragma: no cover - ase not in this image
+        raise ImportError(
+            "dataset_via_ase requires the optional 'ase' package"
+        ) from exc
+
+    mols = [m for m in read(str(path), index=":") if m.calc is not None]
+    if not mols:
+        raise ValueError(f"no frames with calculator results in {path}")
+    if "forces" not in mols[0].calc.results:
+        raise ValueError("forces are missing in the input file")
+    Z = np.array([m.get_atomic_numbers() for m in mols])
+    if not (Z == Z[0]).all():
+        raise ValueError("order of atoms changes across the dataset")
+
+    F = np.array([m.get_forces() for m in mols], dtype=np.float64)
+    dataset = {
+        "type": "d",
+        "name": np.asarray(name or Path(path).stem),
+        "theory": np.asarray(theory),
+        "z": Z[0].astype(np.int64),
+        "R": np.array([m.get_positions() for m in mols], dtype=np.float64),
+        "F": F,
+        "F_min": np.min(F), "F_max": np.max(F),
+        "F_mean": np.mean(F), "F_var": np.var(F),
+    }
+    lattice = np.array(mols[0].get_cell())
+    if np.any(lattice):
+        dataset["lattice"] = lattice
+    try:
+        E = np.array([m.get_potential_energy() for m in mols],
+                     dtype=np.float64)
+        dataset["E"] = E
+        dataset["E_min"], dataset["E_max"] = np.min(E), np.max(E)
+        dataset["E_mean"], dataset["E_var"] = np.mean(E), np.var(E)
+    except Exception:
+        pass  # energies are optional (force-only training)
+    if r_unit:
+        dataset["r_unit"] = np.asarray(r_unit)
+    if e_unit:
+        dataset["e_unit"] = np.asarray(e_unit)
+    dataset["md5"] = np.asarray(dataset_md5(dataset))
+    return dataset
+
+
+def dataset_subsets_from_model(model: dict, dataset: dict) -> dict:
+    """Extract the train/valid dataset subsets a model was built from
+    (reference scripts/sgdml_datasets_from_model.py): fingerprints are
+    validated against the model's recorded md5s, and each subset is a
+    self-contained dataset dict with its own fingerprint."""
+    out = {}
+    for s in ("train", "valid"):
+        md5_ref = model.get(f"md5_{s}")
+        if md5_ref is not None and str(np.asarray(md5_ref)) not in (
+            "", "None"
+        ) and str(np.asarray(md5_ref)) != str(np.asarray(dataset["md5"])):
+            raise ValueError(
+                f"dataset fingerprint does not match the one referenced in "
+                f"the model for '{s}'"
+            )
+        idxs = np.asarray(model[f"idxs_{s}"])
+        sub = {
+            "type": "d",
+            "name": np.asarray(str(np.asarray(dataset["name"]))),
+            "theory": np.asarray(str(np.asarray(dataset["theory"]))),
+            "z": np.asarray(dataset["z"]),
+            "R": np.asarray(dataset["R"])[idxs],
+            "F": np.asarray(dataset["F"])[idxs],
+        }
+        if "E" in dataset:
+            sub["E"] = np.asarray(dataset["E"])[idxs]
+        sub["md5"] = np.asarray(dataset_md5(sub))
+        out[s] = sub
+    return out
+
+
 def download(command: str, file_name: str):
     """Benchmark dataset downloader (reference sgdml/get.py:45-69).
 

@@ -22,6 +22,7 @@ import numpy as np
 from .. import __version__
 from ..ops import descriptor as dsc
 from ..ops import kernel as knl
+from ..solvers import preconditioners as pc
 from ..solvers.analytic import solve_analytic
 from ..solvers.cg import pcg
 from ..solvers.iterative import solve_iterative
@@ -102,6 +103,10 @@ class Trainer:
         task = dict(task)
         solver = str(task["solver_name"])
         assert solver in ("analytic", "cg", "cg_cholesky"), solver
+
+        # start the tunnel's first-d2h setup now, hidden under the
+        # descriptor/assembly work (see preconditioners.warm_host_transfer)
+        pc.warm_host_transfer()
 
         t_setup = time.perf_counter()
         spec, S, X, Jc, P_idx = self.build_kernel_inputs(task)

@@ -197,6 +197,57 @@ def df64_from_split(P: "WoodburySplitPreconditioner") -> "DF64WoodburyPreconditi
     return DF64WoodburyPreconditioner(Bh=Bh, Bl=Bl, W2=W2, lam=P.lam)
 
 
+_tunnel_warmed = False
+
+
+def warm_host_transfer() -> None:
+    """Kick off the first device->host transfer asynchronously.
+
+    Through the axon TPU tunnel the FIRST d2h in a process pays a flat
+    ~4-10 s connection-setup cost (tools/probe_tunnel.py).  Issuing a tiny
+    ``copy_to_host_async`` at training start hides that setup under the
+    descriptor/kernel-cache/assembly work instead of landing it on the
+    factorization's critical path.  No-op on backends without async copy.
+    """
+    global _tunnel_warmed
+    if _tunnel_warmed:
+        return
+    _tunnel_warmed = True
+    try:
+        jnp.zeros(8).copy_to_host_async()
+    except Exception:  # pragma: no cover - backend without async d2h
+        pass
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _unpack_triu_dev(packed: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Row-major packed upper triangle -> full (m, m) on device.
+
+    Index arithmetic in int32: row r of the triangle starts at
+    r*m - r(r-1)/2, so the flat source index of (r, c>=r) is that plus
+    (c - r).  One gather, no host-side index constants (which would cost
+    as many tunnel bytes as the data saved by packing)."""
+    assert m < 40_000  # int32 offset arithmetic headroom
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    idx = r * m - (r * (r - 1)) // 2 + (c - r)
+    mask = c >= r
+    vals = packed[jnp.where(mask, idx, 0)]
+    return jnp.where(mask, vals, jnp.zeros((), packed.dtype))
+
+
+def _put_factor(W_host: np.ndarray, host_decomp: str) -> jnp.ndarray:
+    """Host m x m factor -> device.  The 'chol' factors (L^-T) are upper
+    triangular: send only the packed triangle (halves the ~30-55 MB/s
+    tunnel bytes; 113 -> 56 MB at m = 3753) and unpack with one gather on
+    device.  'eigh' factors are dense — full transfer."""
+    if host_decomp != "chol":
+        return jnp.asarray(W_host)
+    m = W_host.shape[0]
+    packed = np.ascontiguousarray(W_host[np.triu_indices(m)])
+    return _unpack_triu_dev(jnp.asarray(packed), m)
+
+
 def cho_factor_stable(M: np.ndarray, max_tries: int = 20) -> np.ndarray:
     """Lower Cholesky factor with escalating diagonal regularization.
 
@@ -437,15 +488,50 @@ def _nystrom_factor_split(
     # mismatch destroyed preconditioner quality (CG at n=31k went from
     # 1213 iterations to non-converging within 40x that budget).
     m = len(inducing_idxs)
+    t = _StageTimer()
     tril = jnp.asarray(np.tril_indices(m))
-    K_mm = _unpack_sym(np.asarray(
-        _gather_rows_tril(K_nm, idxs_dev, tril)), m)       # d2h m(m+1)/2
-    W1 = jnp.asarray(_host_whiten_factor(K_mm, rank_tol, host_decomp))
+    K_mm_packed = _gather_rows_tril(K_nm, idxs_dev, tril)
+    K_mm_packed.block_until_ready()
+    t.mark("gather")
+    K_mm = _unpack_sym(np.asarray(K_mm_packed), m)         # d2h m(m+1)/2
+    t.mark("d2h_Kmm")
+    W1_h = _host_whiten_factor(K_mm, rank_tol, host_decomp)
+    t.mark("chol_W1")
+    W1 = _put_factor(W1_h, host_decomp)
+    W1.block_until_ready()
+    t.mark("h2d_W1")
     B_t = _whiten_nm(K_nm, W1, n_chunks)                   # (n_pad, m), donates
-    inner = _unpack_sym(np.asarray(
-        _gram_nm_tril(B_t, tril, n_chunks)), m)            # d2h m(m+1)/2
-    W2 = jnp.asarray(_host_inner_isqrt(inner, lam, host_decomp))  # h2d (m, m)
+    inner_packed = _gram_nm_tril(B_t, tril, n_chunks)
+    inner_packed.block_until_ready()
+    t.mark("whiten+gram")
+    inner = _unpack_sym(np.asarray(inner_packed), m)       # d2h m(m+1)/2
+    t.mark("d2h_inner")
+    W2_h = _host_inner_isqrt(inner, lam, host_decomp)
+    t.mark("chol_W2")
+    W2 = _put_factor(W2_h, host_decomp)
+    W2.block_until_ready()
+    t.mark("h2d_W2")
+    t.report("nystrom factor stages")
     return (B_t[:n] if pad else B_t), W2
+
+
+class _StageTimer:
+    """Accumulates labelled wall-clock stage durations for one log line."""
+
+    def __init__(self):
+        import time as _time
+        self._clock = _time.perf_counter
+        self._last = self._clock()
+        self.stages: list[tuple[str, float]] = []
+
+    def mark(self, label: str) -> None:
+        now = self._clock()
+        self.stages.append((label, now - self._last))
+        self._last = now
+
+    def report(self, what: str) -> None:
+        log.info("%s: %s", what,
+                 "  ".join(f"{k} {v:.1f}s" for k, v in self.stages))
 
 
 def _nystrom_factor_eigh(

@@ -150,3 +150,43 @@ def test_dataset_from_aims_prunes_incomplete_tail(tmp_path):
 
     ds = xyz.dataset_from_aims(path)
     assert ds["R"].shape[0] == M and ds["E"].shape[0] == M
+
+
+def test_dataset_subsets_from_model(tmp_path, ethanol_ds):
+    """datasets-from-model extraction (reference
+    scripts/sgdml_datasets_from_model.py): md5-validated train/valid
+    subsets, each a self-fingerprinted dataset."""
+    from mlff_tpu.data.xyz import dataset_subsets_from_model
+
+    model = {
+        "md5_train": ethanol_ds["md5"],
+        "md5_valid": ethanol_ds["md5"],
+        "idxs_train": np.array([0, 2, 4]),
+        "idxs_valid": np.array([1, 3]),
+    }
+    subs = dataset_subsets_from_model(model, ethanol_ds)
+    assert subs["train"]["R"].shape[0] == 3
+    assert subs["valid"]["R"].shape[0] == 2
+    np.testing.assert_array_equal(
+        subs["train"]["F"], np.asarray(ethanol_ds["F"])[[0, 2, 4]])
+    # each subset carries a valid fingerprint of its own contents
+    from mlff_tpu.utils.io import dataset_md5
+    assert str(subs["valid"]["md5"]) == dataset_md5(subs["valid"])
+    # mismatched fingerprint is rejected
+    model["md5_train"] = "deadbeef"
+    with pytest.raises(ValueError, match="fingerprint"):
+        dataset_subsets_from_model(model, ethanol_ds)
+
+
+def test_dataset_via_ase_gated():
+    """Without the optional ase package the converter raises the
+    documented ImportError (reference gates identically)."""
+    from mlff_tpu.data.xyz import dataset_via_ase
+
+    try:
+        import ase  # noqa: F401
+        pytest.skip("ase available; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="ase"):
+        dataset_via_ase("nonexistent.traj")

@@ -299,3 +299,16 @@ def test_nystrom_chol_host_matches_eigh_quality():
     assert abs(iters["chol_host"] - iters["eigh"]) <= max(
         3, int(0.05 * iters["eigh"])
     ), iters
+
+
+def test_unpack_triu_device_roundtrip():
+    """_put_factor's packed-triangle transfer reproduces the host factor
+    exactly (both the gather unpack and the chol/eigh dispatch)."""
+    rng = np.random.default_rng(3)
+    for m in (1, 2, 7, 65):
+        W = np.triu(rng.standard_normal((m, m)))
+        got = np.asarray(pc._put_factor(W, "chol"))
+        np.testing.assert_array_equal(got, W)
+    dense = rng.standard_normal((9, 9))
+    np.testing.assert_array_equal(np.asarray(pc._put_factor(dense, "eigh")),
+                                  dense)

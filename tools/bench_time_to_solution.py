@@ -39,6 +39,8 @@ def main():
                    help="eigh (default) or chol_host")
     p.add_argument("--apply-impl", default=None,
                    help="xla (default) or df64 (Pallas double-f32 kernels)")
+    p.add_argument("--k", type=int, default=None,
+                   help="preconditioner rank (default: rule of thumb)")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
@@ -52,7 +54,9 @@ def main():
     n = int(np.asarray(task["F_train"]).size)
     m, k_unity, _ = get_params("ethanol")
     k_rot = rule_of_thumb(n, k_unity, m)
-    print(f"n = {n}, rule-of-thumb k = {k_rot}", file=sys.stderr, flush=True)
+    k = args.k or k_rot
+    print(f"n = {n}, rule-of-thumb k = {k_rot}, using k = {k}",
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
 
@@ -61,7 +65,7 @@ def main():
               file=sys.stderr, flush=True)
 
     model = Trainer().train(
-        task, n_columns=k_rot, str_preconditioner="lev_random",
+        task, n_columns=k, str_preconditioner="lev_random",
         callback=progress,
     )
     total = time.perf_counter() - t0
@@ -74,7 +78,7 @@ def main():
         "unit": "s",
         "converged": bool(model["is_conv"]),
         "iters": int(model["solver_iters"]),
-        "k": k_rot,
+        "k": k,
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(total, 2),
