@@ -148,13 +148,20 @@ def _desc_forces(cache: KernelCache, Xq_query, A_exp, A_exp1, wt):
     7.83 vs 7.50 ms/iter for this three-GEMM form — no gain, so the simpler
     formulation stays.)
     """
-    ct = jnp.sum(cache.Xqt * wt, axis=1)            # (M,)
+    return _desc_forces_x(cache.Xqt, cache.sig, Xq_query, A_exp, A_exp1, wt)
+
+
+def _desc_forces_x(Xqt, sig, Xq_query, A_exp, A_exp1, wt):
+    """_desc_forces on explicit training descriptors — the same math serves
+    the packed (B, D) and the square (B, A*A) descriptor layouts, since
+    every step is an inner product / linear map in descriptor space."""
+    ct = jnp.sum(Xqt * wt, axis=1)                  # (M,)
     dot = Xq_query @ wt.T - ct[None, :]             # (B, M)
     G = A_exp * dot
-    F1 = Xq_query * jnp.sum(G, axis=1, keepdims=True) - G @ cache.Xqt
+    F1 = Xq_query * jnp.sum(G, axis=1, keepdims=True) - G @ Xqt
     F2 = A_exp1 @ wt
     F_desc = F1 - F2
-    q = SQRT5 / cache.sig
+    q = SQRT5 / sig
     E = jnp.sum(A_exp1 * dot, axis=1) / q
     return F_desc, E
 
@@ -199,6 +206,121 @@ def matmat_psd(cache: KernelCache, V: jnp.ndarray) -> jnp.ndarray:
     """(K + lam*I) @ V for V (n, B) — batched over columns via vmap; all
     pairwise caches are shared so B RHS cost barely more than one."""
     return jax.vmap(lambda col: matvec_psd(cache, col), in_axes=1, out_axes=1)(V)
+
+
+# ---------------------------------------------------------------------------
+# Square all-pairs descriptor layout (large-A fast path)
+# ---------------------------------------------------------------------------
+#
+# The packed layout contracts the compressed Jacobian against the +/-1
+# incidence matrix S (D, A) as DENSE matmuls — at the nanotube's A = 370
+# that is ~185x more flops than the 2 nonzeros/row justify (measured: the
+# two incidence GEMMs dominate the 110 ms/iter CG step).  TPU gathers and
+# scatters run at only ~5-10 M elem/s here, so sparse indexing is no
+# answer either.  Instead the matvec below works in the SQUARE all-pairs
+# layout: descriptors live on an (A, A) grid (both orientations of each
+# pair), the Jacobian becomes an antisymmetric (A, A, 3) field, and both
+# S-contractions turn into elementwise broadcast-multiplies + axis
+# reductions — pure VPU work, no gathers, nothing above O(A^2).
+#
+# Scaling that makes it EXACT: every descriptor-space quantity appears
+# twice on the square grid, so all arrays carry a 1/sqrt(2) factor; inner
+# products over A^2 entries then equal the packed inner products over D,
+# and the pairwise distances / kernel weights match the packed cache to
+# roundoff.  The final Jacobian-transpose contraction gains the
+# compensating factor 2:  out[a] = 2 sum_i Fsq[i, a] * Gs[i, a]  (the i>a
+# terms reproduce the S=+1 column sums, the i<a terms the S=-1 row sums,
+# via the antisymmetry of Gs).
+
+
+class SquareCache(NamedTuple):
+    """Operator cache in the square all-pairs layout.
+
+    Gs   (N, A, A, 3): (r_i - r_j) / (sqrt(2) d^3), zero diagonal —
+                       the scaled, antisymmetric compressed Jacobian.
+    Gst  (M, A, A, 3): atom-permuted copies of Gs, point-major (M = N*P).
+    Xs   (N, A*A):     (sqrt(5)/sig) / (sqrt(2) d) square descriptors.
+    Xst  (M, A*A):     atom-permuted square descriptors.
+    perms (P, A):      the atom permutation group (row 0 = identity).
+    A_exp/A_exp1 (N, M): Matern-5/2 weights — identical values to the
+                       packed KernelCache (distances match to roundoff).
+    """
+
+    Gs: jnp.ndarray
+    Gst: jnp.ndarray
+    Xs: jnp.ndarray
+    Xst: jnp.ndarray
+    perms: jnp.ndarray
+    A_exp: jnp.ndarray
+    A_exp1: jnp.ndarray
+    sig: jnp.ndarray
+    lam: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("sig", "lam"))
+def build_cache_square(R, perms, sig: float, lam: float) -> SquareCache:
+    """Square-layout cache from raw training geometries R (N, A, 3) and the
+    atom permutation group perms (P, A)."""
+    R = jnp.asarray(R, jnp.float64)
+    N, A, _ = R.shape
+    perms = jnp.asarray(perms, jnp.int32).reshape(-1, A)
+    diffs = R[:, :, None, :] - R[:, None, :, :]     # (N, A, A, 3) r_i - r_j
+    d2 = jnp.sum(diffs * diffs, axis=-1)
+    eye = jnp.eye(A, dtype=bool)[None]
+    inv = jnp.where(eye, 0.0, 1.0 / jnp.sqrt(jnp.where(eye, 1.0, d2)))
+    isqrt2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, R.dtype))
+    q = SQRT5 / sig
+    Xs = (q * isqrt2) * inv                          # (N, A, A)
+    Gs = diffs * (isqrt2 * inv**3)[..., None]        # (N, A, A, 3)
+
+    Xst = _perm_square(Xs, perms).reshape(N * perms.shape[0], A * A)
+    Gst = _perm_square(Gs, perms).reshape(N * perms.shape[0], A, A, 3)
+    Xs_flat = Xs.reshape(N, A * A)
+    dist = pairwise_dist_gram(Xs_flat, Xst)
+    A_exp = (5.0 / (3.0 * sig**2)) * jnp.exp(-dist)
+    A_exp1 = A_exp * (1.0 + dist)
+    return SquareCache(
+        Gs=Gs, Gst=Gst, Xs=Xs_flat, Xst=Xst, perms=perms,
+        A_exp=A_exp, A_exp1=A_exp1,
+        sig=jnp.asarray(sig, R.dtype), lam=jnp.asarray(lam, R.dtype),
+    )
+
+
+def _perm_square(M_sq: jnp.ndarray, perms: jnp.ndarray) -> jnp.ndarray:
+    """Permute both grid axes of (N, A, A, ...) by each atom permutation:
+    out[j, p, i, l] = M_sq[j, perm_p(i), perm_p(l)] — the square-layout
+    equivalent of the packed descriptor permutation (desc_perms)."""
+    out = M_sq[:, perms]                             # (N, P, A, A, ...)
+    P, A = perms.shape
+    idx = perms[None, :, None, :]                    # (1, P, 1, A)
+    while idx.ndim < out.ndim:
+        idx = idx[..., None]
+    return jnp.take_along_axis(out, jnp.broadcast_to(
+        idx, out.shape[:4] + out.shape[4:]), axis=3)
+
+
+@jax.jit
+def matvec_ref_square(sq: SquareCache, v: jnp.ndarray) -> jnp.ndarray:
+    """K_ref @ v in the square layout — bit-compatible semantics with
+    matvec_ref (same kernel weights, reordered reductions)."""
+    N, A = sq.Gs.shape[0], sq.Gs.shape[1]
+    P = sq.perms.shape[0]
+    v3 = v.reshape(N, A, 3)
+    vt = v3[:, sq.perms, :]                          # (N, P, A, 3)
+    # wt[j,p,i,l] = Gst[j,p,i,l] . (vt[j,p,l] - vt[j,p,i])
+    dvt = vt[:, :, None, :, :] - vt[:, :, :, None, :]
+    wt = jnp.sum(sq.Gst.reshape(N, P, A, A, 3) * dvt, axis=-1)
+    wt = wt.reshape(N * P, A * A)
+    F_desc, _ = _desc_forces_x(sq.Xst, sq.sig, sq.Xs, sq.A_exp, sq.A_exp1, wt)
+    Fsq = F_desc.reshape(N, A, A)
+    out = 2.0 * jnp.sum(Fsq[..., None] * sq.Gs, axis=1)   # (N, A, 3)
+    return out.reshape(-1)
+
+
+@jax.jit
+def matvec_psd_square(sq: SquareCache, v: jnp.ndarray) -> jnp.ndarray:
+    """(K + lam*I) @ v through the square-layout operator."""
+    return sq.lam * v - matvec_ref_square(sq, v)
 
 
 # ---------------------------------------------------------------------------

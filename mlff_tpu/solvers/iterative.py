@@ -165,6 +165,18 @@ def compute_precon_spectrum(spec, cache, P_apply=None) -> np.ndarray:
     return np.sort(np.real(np.linalg.eigvals(PA)))
 
 
+def _square_matvec_wins(spec: DescriptorSpec, cache: knl.KernelCache) -> bool:
+    """Pick the square all-pairs matvec when the packed layout's dense
+    incidence-matrix contractions dominate.  The packed S-GEMMs cost
+    ~N*D*3A flops/iteration against the square layout's ~N*P*A^2*3*4
+    elementwise ops — the flop ratio is ~(A-1)/(4P).  The square layout
+    also holds (N*P, A, A, 3) f64 fields; require those to fit comfortably
+    in HBM."""
+    N, A, P = cache.n_train, spec.n_atoms, cache.n_perms
+    sq_bytes = (2 * N * P * A * A * 3 + 2 * N * P * A * A) * 8
+    return A >= 64 * P and sq_bytes < int(4e9)
+
+
 def solve_iterative(
     spec: DescriptorSpec,
     cache: knl.KernelCache,
@@ -226,6 +238,21 @@ def solve_iterative(
     # the chunk executable is shared across solves
     mv_fn = knl.matvec_psd_ecstr if use_E_cstr else knl.matvec_psd
     matvec = (mv_fn, cache)
+    impl = str(task.get("matvec_impl", "auto"))
+    if not use_E_cstr and (
+        impl == "square"
+        or (impl == "auto" and _square_matvec_wins(spec, cache))
+    ):
+        # large-A fast path: square all-pairs layout replaces the dense
+        # incidence-matrix GEMMs (see ops.kernel.SquareCache)
+        sq = knl.build_cache_square(
+            np.asarray(task["R_train"], dtype=np.float64),
+            np.asarray(task.get("perms",
+                                np.arange(spec.n_atoms)[None])),
+            float(cache.sig), lam,
+        )
+        matvec = (knl.matvec_psd_square, sq)
+        log.info("matvec: square all-pairs layout (A=%d)", spec.n_atoms)
     y_dev = jnp.asarray(y)
     maxiter = 3 * spec.n_atoms * n_train * 5 if not flag_eigvals else 10
 

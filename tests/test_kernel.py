@@ -114,3 +114,40 @@ def test_single_column_includes_ridge(setup):
     ours = np.asarray(knl.kernel_column(spec.dim_i, cache, jnp.asarray(col)))
     expected = K[:, col] + LAM * (np.arange(n) == col)
     np.testing.assert_allclose(ours, expected, rtol=1e-9, atol=1e-12)
+
+
+class TestSquareLayout:
+    """Square all-pairs layout (large-A fast path) vs the packed oracle."""
+
+    def test_matvec_square_matches_packed_with_perms(self):
+        spec, cache, perms, R = _setup(n_atoms=6, n_train=7, n_perms=2,
+                                       seed=3)
+        sq = knl.build_cache_square(jnp.asarray(R), perms, SIG, LAM)
+        rng = np.random.default_rng(5)
+        for _ in range(3):
+            v = jnp.asarray(rng.standard_normal(cache.n))
+            a = np.asarray(knl.matvec_psd(cache, v))
+            b = np.asarray(knl.matvec_psd_square(sq, v))
+            np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-13)
+
+    def test_matvec_square_single_perm_large(self):
+        spec, cache, perms, R = _setup(n_atoms=17, n_train=4, n_perms=1,
+                                       seed=9)
+        sq = knl.build_cache_square(jnp.asarray(R), perms, SIG, LAM)
+        v = jnp.asarray(np.random.default_rng(1).standard_normal(cache.n))
+        np.testing.assert_allclose(
+            np.asarray(knl.matvec_psd_square(sq, v)),
+            np.asarray(knl.matvec_psd(cache, v)), rtol=1e-10, atol=1e-13)
+
+    def test_square_kernel_weights_match_packed(self):
+        """The square layout's pairwise Matern weights equal the packed
+        cache's (the 1/sqrt(2) scaling makes distances identical)."""
+        spec, cache, perms, R = _setup(n_atoms=6, n_train=5, n_perms=2,
+                                       seed=4)
+        sq = knl.build_cache_square(jnp.asarray(R), perms, SIG, LAM)
+        # near-zero descriptor distances amplify the Gram-trick cancellation
+        # (na + nb - 2g), and the two layouts sum it in different orders —
+        # a few self-distance entries land at ~1e-8 relative
+        np.testing.assert_allclose(np.asarray(sq.A_exp),
+                                   np.asarray(cache.A_exp),
+                                   rtol=1e-7, atol=1e-15)

@@ -154,3 +154,33 @@ def test_load_reference_produced_model(ethanol_ds):
     np.testing.assert_allclose(
         E_our, E_ref, rtol=1e-6, atol=1e-8 * np.abs(E_ref).max()
     )
+
+
+def test_square_matvec_impl_matches_packed(tmp_path):
+    """Forcing task['matvec_impl']='square' trains to the same alphas as the
+    packed matvec (the CG sees a bit-compatible operator)."""
+    from mlff_tpu.data.synthetic import make_dataset
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+
+    ds = make_dataset("ethanol", n_samples=60, seed=2)
+    task = create_task(ds, 12, ds, n_valid=10, sig=5.0, solver="cg",
+                       use_sym=True)
+    kw = dict(n_columns=40, str_preconditioner="lev_random")
+    m_packed = Trainer().train(dict(task), **kw)
+    task_sq = dict(task)
+    task_sq["matvec_impl"] = "square"
+    m_square = Trainer().train(task_sq, **kw)
+    assert m_packed["is_conv"] and m_square["is_conv"]
+    # per-matvec parity is 1e-10 (test_kernel); through an ill-conditioned
+    # CG solve to tol=1e-4 the two operators' different reduction orders
+    # still land within solver-tolerance of each other
+    np.testing.assert_allclose(
+        np.asarray(m_square["alphas_F"]), np.asarray(m_packed["alphas_F"]),
+        rtol=5e-3, atol=1e-9)
+    # similar iteration count: the operators differ only in reduction
+    # order (~1e-13/matvec), which shifts the exact step where the
+    # residual crosses tol by a few iterations on this tiny ill-
+    # conditioned system
+    it_p, it_s = int(m_packed["solver_iters"]), int(m_square["solver_iters"])
+    assert abs(it_s - it_p) <= max(3, int(0.15 * it_p)), (it_s, it_p)

@@ -36,6 +36,8 @@ def main():
     p.add_argument("--n-train", type=int, default=28)
     p.add_argument("--sig", type=float, default=10.0)
     p.add_argument("--precon", default="lev_random")
+    p.add_argument("--k", type=int, default=None,
+                   help="preconditioner rank (default: rule of thumb)")
     p.add_argument("--labels", default="manufactured",
                    choices=["manufactured", "dataset"],
                    help="manufactured: y = (K + lam I) alpha* for a random "
@@ -75,7 +77,9 @@ def main():
         del cache
     m, k_unity, _ = get_params("nanotube")
     k_rot = rule_of_thumb(n, k_unity, m)
-    print(f"n = {n}, rule-of-thumb k = {k_rot}", file=sys.stderr, flush=True)
+    k = args.k or k_rot
+    print(f"n = {n}, rule-of-thumb k = {k_rot}, using k = {k}",
+          file=sys.stderr, flush=True)
 
     def progress(it, resid, eff):
         print(f"  cg it={it} resid={resid:.3e} eff={eff}",
@@ -83,7 +87,7 @@ def main():
 
     t0 = time.perf_counter()
     model = Trainer().train(
-        task, n_columns=k_rot, str_preconditioner=args.precon,
+        task, n_columns=k, str_preconditioner=args.precon,
         callback=progress,
     )
     total = time.perf_counter() - t0
@@ -96,7 +100,7 @@ def main():
         "unit": "s",
         "converged": bool(model["is_conv"]),
         "iters": int(model["solver_iters"]),
-        "k": k_rot,
+        "k": k,
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(total, 2),
