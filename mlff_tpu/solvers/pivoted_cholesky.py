@@ -333,7 +333,16 @@ def panel_pivoted_cholesky(
     diag_host = np.asarray(diag)
     eps_floor = float(diag_host.max()) * 1e-30
 
-    L = jnp.zeros((n, 0), dtype)
+    # STATIC-SHAPE factor: the loop below runs ~max_rank/block rounds; a
+    # factor that grows a few columns per round would compile a fresh
+    # executable per round (ruinous through the remote-compile tunnel).
+    # Instead L is preallocated at the padded final width (zero columns are
+    # inert in the Schur correction) and each round commits its panel with
+    # a dynamic_update_slice at a traced offset — every round runs the SAME
+    # two executables.
+    K_pad = (max_rank // block + 2) * block
+    L = jnp.zeros((n, K_pad), dtype)
+    off = 0
     remaining = max_rank
     while remaining > 0:
         b = min(block, remaining)
@@ -367,21 +376,28 @@ def panel_pivoted_cholesky(
         if r == 0:
             break
         perm = piv[:r]
-        Fr = jnp.asarray(np.tril(F[:r, :r]))
-        Lb = _panel_solve(Fr, corr, jnp.asarray(perm))       # (n, r)
+        # combine matrix: Lb = corr[:, perm] tril(F_r)^-T = corr @ Tm with
+        # zero columns for rejected candidates — keeps the commit shape
+        # static at (n, block)
+        Fr_inv = scipy.linalg.solve_triangular(
+            np.tril(F[:r, :r]), np.eye(r), lower=True)
+        Tm = np.zeros((b, block), dtype=np.float64)
+        Tm[perm, :r] = Fr_inv.T
+        L, Lb_sumsq = _panel_commit(L, corr, jnp.asarray(Tm),
+                                    jnp.asarray(off, jnp.int32))
+        Lb_host_diag = np.asarray(Lb_sumsq)
 
-        Lb_host_diag = np.asarray(jnp.sum(Lb * Lb, axis=1))
         pvals_all.append(np.clip(diag_host[idx[perm]], 0, None))
         diag_host = diag_host - Lb_host_diag
         pivots_all.append(idx[perm])
         chosen[idx[perm]] = True
-        L = jnp.concatenate([L, Lb], axis=1)
+        off += r
         remaining -= r
 
     pivots = np.concatenate(pivots_all) if pivots_all else np.zeros(0, int)
     pvals = np.concatenate(pvals_all) if pvals_all else np.zeros(0)
     res = PivotedCholeskyResult(
-        L=L,
+        L=L[:, :off],
         pivots=jnp.asarray(pivots, jnp.int32),
         pivot_values=jnp.asarray(pvals, dtype),
         remaining_diag=jnp.asarray(diag_host, dtype),
@@ -416,6 +432,19 @@ def _panel_solve(Fr: jnp.ndarray, corr: jnp.ndarray, colperm: jnp.ndarray):
     return jax.scipy.linalg.solve_triangular(
         Fr, corr[:, colperm].T, lower=True
     ).T
+
+
+@jax.jit
+def _panel_commit(L: jnp.ndarray, corr: jnp.ndarray, Tm: jnp.ndarray, off):
+    """Commit one panel round into the preallocated factor.
+
+    Lb = corr @ Tm (host-built selection x triangular-solve combine, zero
+    columns for rejected candidates) lands at column ``off`` of L via a
+    dynamic slice — same executable for every round."""
+    Lb = corr @ Tm                                      # (n, block)
+    L_new = jax.lax.dynamic_update_slice(
+        L, Lb, (jnp.zeros((), off.dtype), off))
+    return L_new, jnp.sum(Lb * Lb, axis=1)
 
 
 @jax.jit
