@@ -46,6 +46,10 @@ if _cache_dir.lower() != "off":
     # keep source locations/tracebacks out of the lowered IR: they shift on
     # every source edit and silently invalidate the persistent cache keys
     jax.config.update("jax_include_full_tracebacks_in_locations", False)
+    # bound the cache's disk growth (LRU eviction, at most once per day)
+    from .utils.cache import maybe_prune_compile_cache as _prune
+
+    _prune(_cache_dir)
 
 __version__ = "0.1.0"
 

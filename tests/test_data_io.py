@@ -190,3 +190,27 @@ def test_dataset_via_ase_gated():
         pass
     with pytest.raises(ImportError, match="ase"):
         dataset_via_ase("nonexistent.traj")
+
+
+def test_compile_cache_prune(tmp_path):
+    """LRU eviction brings an over-cap cache dir under target size and
+    never touches the marker file."""
+    import time as _t
+
+    from mlff_tpu.utils.cache import prune_compile_cache
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    for i in range(10):
+        p = d / f"entry{i}"
+        p.write_bytes(bytes(1000))
+        ts = _t.time() - (10 - i) * 100
+        import os
+        os.utime(p, (ts, ts))
+    # cap at 5500 bytes -> evict oldest until <= 4125
+    evicted = prune_compile_cache(str(d), max_bytes=5500)
+    remaining = sorted(f.name for f in d.iterdir())
+    assert evicted == 6
+    assert remaining == [f"entry{i}" for i in range(6, 10)]
+    # under cap: no-op
+    assert prune_compile_cache(str(d), max_bytes=5500) == 0
