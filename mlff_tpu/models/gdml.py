@@ -85,6 +85,19 @@ class Trainer:
         y_std = float(np.std(y))
         return y / y_std, y_std, E_train_mean
 
+
+    @staticmethod
+    def _square_R(task, spec, P_idx) -> "np.ndarray | None":
+        """R_train for the kernel cache's square all-pairs fields — only for
+        single-perm molecules whose descriptor size trips the large-D paths
+        (the square layout accelerates column assembly ~(D/A)x there)."""
+        import numpy as _np
+        big = (spec.dim * spec.dim_i * 8
+               * max(4, int(P_idx.shape[0])) > knl._INFLATION_BUDGET)
+        if big and int(P_idx.shape[0]) == 1:
+            return _np.asarray(task["R_train"], dtype=_np.float64)
+        return None
+
     # -- main entry --------------------------------------------------------
 
     def train(
@@ -146,7 +159,8 @@ class Trainer:
             assert break_percentage is None or 0 <= break_percentage <= 1
             task["lam"] = CG_LAM  # stronger ridge for the iterative path
             t_cache = time.perf_counter()
-            cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), CG_LAM)
+            cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
+                                    R=self._square_R(task, spec, P_idx))
             jax.block_until_ready(cache.A_exp)
             log.info("kernel cache build: %.1fs", time.perf_counter() - t_cache)
             res = solve_iterative(
@@ -175,7 +189,8 @@ class Trainer:
             # standalone matrix-free pivoted-Cholesky PCG
             # (reference iterative_cholesky.py:53-74)
             task["lam"] = CG_LAM
-            cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), CG_LAM)
+            cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
+                                    R=self._square_R(task, spec, P_idx))
             k = int((break_percentage or 0.1) * cache.n)
             t0 = time.perf_counter()
             fac, info_chol = pivoted_cholesky(spec, cache, max_rank=k)

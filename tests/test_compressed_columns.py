@@ -70,3 +70,42 @@ def test_grouped_compressed_matches_per_column():
         spec, cache, idxs, g_chunk=4))
     b = np.asarray(knl.assemble_columns_compressed(spec, cache, idxs))
     np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+
+
+def _setup_square(n_atoms, n_train, sig=10.0, lam=1e-10, seed=0):
+    rng = np.random.default_rng(seed)
+    R = rng.normal(size=(n_train, n_atoms, 3)) * 1.5
+    spec = dsc.make_spec(n_atoms)
+    S = dsc.incidence_matrix(spec)
+    X, Jc = dsc.descriptors_from_R(spec, jnp.asarray(R))
+    P_idx = jnp.asarray(dsc.desc_perms(np.arange(n_atoms)[None, :]))
+    cache = knl.build_cache(X, Jc, S, P_idx, sig, lam, R=jnp.asarray(R))
+    return spec, cache
+
+
+def test_square_assembly_matches_compressed():
+    """assemble_columns_square (large-A all-pairs fast path) equals the
+    per-column compressed oracle, including uneven per-point selections
+    and padded groups."""
+    spec, cache = _setup_square(11, 6, seed=4)
+    assert cache.Xsq is not None
+    n = cache.n
+    rng = np.random.default_rng(9)
+    idxs = np.sort(rng.choice(n, size=min(n - 1, 40), replace=False))
+    a = np.asarray(knl.assemble_columns_square(spec, cache, idxs, g_chunk=4))
+    b = np.asarray(knl.assemble_columns_compressed(spec, cache, idxs))
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+
+
+def test_square_assembly_self_columns():
+    """Columns owned by every point including the self block (row point ==
+    owning point, delta == 0) must match the matvec unit-vector oracle."""
+    spec, cache = _setup_square(7, 4, seed=2)
+    n = cache.n
+    idxs = np.arange(0, n, 5)
+    cols = np.asarray(knl.assemble_columns_square(spec, cache, idxs))
+    for i, c in enumerate(idxs):
+        e = jnp.zeros(n).at[int(c)].set(1.0)
+        col = np.array(knl.matvec_psd(cache, e))
+        col[int(c)] -= float(cache.lam)
+        np.testing.assert_allclose(cols[:, i], col, rtol=1e-8, atol=1e-11)
