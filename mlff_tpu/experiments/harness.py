@@ -31,6 +31,19 @@ log = get_logger(__name__)
 ASPIRIN_ATOMS = MOLECULES["aspirin"]
 
 
+def device_kind() -> str:
+    """Accelerator model string for result provenance (reference
+    cluster_information.py:17-66 maps SGE nodes to GPU/CPU models; here the
+    runtime reports it directly)."""
+    try:
+        import jax
+
+        d = jax.devices()[0]
+        return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+    except Exception:  # pragma: no cover - no backend at all
+        return "unknown"
+
+
 def normalize_to_aspirin(n_datapoints_aspirin: int, name: str) -> int:
     """Training-set size giving the same kernel dimension n as aspirin would
     have with ``n_datapoints_aspirin`` points (reference create_data.py:75-79)."""
@@ -106,6 +119,9 @@ def cg_steps(
         "solver_tol": float(task["solver_tol"]),
         "is_conv": is_conv,
         "platform": platform_mod.uname(),
+        # accelerator provenance — the TPU analog of the reference's SGE
+        # node -> GPU/CPU model map (src/tools/cluster_information.py)
+        "device": device_kind(),
         "solver_runtime_s": wall,
     }
     if flag_eigvals:

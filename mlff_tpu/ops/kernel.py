@@ -964,6 +964,33 @@ def _square_point_columns(
     return outs.transpose(1, 0, 2).reshape(N * A * 3, g)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _square_points_batched(
+    cache: KernelCache,
+    js: jnp.ndarray,      # (n_pts,) owning points
+    ts: jnp.ndarray,      # (n_pts, g_pad) partial indices, 0-padded
+    g_chunk: int,
+) -> jnp.ndarray:
+    """All requested columns of a batch of points in ONE dispatch:
+    (n_pts, n, g_pad).  A per-point Python loop costs a host->device index
+    transfer + dispatch each (~30 ms through the tunnel — 28 points x 36
+    panel rounds made the build dispatch-bound)."""
+    def one(args):
+        j, t = args
+        return _square_point_columns(cache, j, t // 3, t % 3, g_chunk)
+
+    return jax.lax.map(one, (js, ts))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _square_gather_columns(blocks: jnp.ndarray, flat_cols: jnp.ndarray,
+                           n: int) -> jnp.ndarray:
+    """(n_pts, n, g_pad) point blocks -> (n, k) selected columns (one
+    coarse column gather, ~250 KB slices)."""
+    stacked = blocks.transpose(1, 0, 2).reshape(n, -1)
+    return jnp.take(stacked, flat_cols, axis=1)
+
+
 def assemble_columns_square(
     spec: DescriptorSpec,
     cache: KernelCache,
@@ -972,26 +999,37 @@ def assemble_columns_square(
 ) -> jnp.ndarray:
     """Kernel columns K[:, col_idxs] (n, k) through the square all-pairs
     layout — the large-A fast path (single-perm molecules; requires
-    build_cache(..., R=...)).  Per-point partial counts are padded to
-    multiples of ``4 * g_chunk`` so executables are shared."""
+    build_cache(..., R=...)).  Per-point partial counts are padded to a
+    common multiple of ``4 * g_chunk`` so all points ride one executable
+    and ONE device dispatch."""
     assert cache.Xsq is not None and cache.n_perms == 1
     col_idxs = np.asarray(col_idxs)
     T = spec.dim_i
     points = col_idxs // T
     partials = col_idxs % T
-    outs = []
+    uniq = np.unique(points)
     bucket = 4 * g_chunk
-    for j in np.unique(points):
-        ts = partials[points == j]
-        g_pad = -(-len(ts) // bucket) * bucket
-        ts_pad = np.zeros(g_pad, dtype=np.int64)
-        ts_pad[: len(ts)] = ts
-        blk = _square_point_columns(
-            cache, jnp.asarray(j), jnp.asarray(ts_pad // 3),
-            jnp.asarray(ts_pad % 3), g_chunk,
-        )
-        outs.append(blk[:, : len(ts)])
-    return jnp.concatenate(outs, axis=1)                  # (n, k)
+    counts = np.array([(points == j).sum() for j in uniq])
+    g_pad = -(-int(counts.max()) // bucket) * bucket
+    # chunk the point axis so the (pts, n, g_pad) block stays ~<= 2 GB
+    pts_chunk = max(1, min(len(uniq), int(2e9 / (cache.n * g_pad * 8))))
+    outs = []
+    for c0 in range(0, len(uniq), pts_chunk):
+        uc = uniq[c0 : c0 + pts_chunk]
+        if len(uc) < pts_chunk:  # pad to the jitted chunk shape
+            uc = np.concatenate([uc, np.repeat(uc[-1:], pts_chunk - len(uc))])
+        ts = np.zeros((pts_chunk, g_pad), dtype=np.int64)
+        flat = []
+        for row, j in enumerate(uc[: min(pts_chunk, len(uniq) - c0)]):
+            sel = partials[points == j]
+            ts[row, : len(sel)] = sel
+            flat.append(row * g_pad + np.arange(len(sel)))
+        flat = np.concatenate(flat)
+        blocks = _square_points_batched(
+            cache, jnp.asarray(uc), jnp.asarray(ts), g_chunk)
+        outs.append(_square_gather_columns(blocks, jnp.asarray(flat),
+                                           cache.n))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def assemble_columns_compressed(
