@@ -64,6 +64,11 @@ class KernelCache(NamedTuple):
     # build_cache(..., R=...) for single-perm molecules — see SquareCache)
     Xsq: jnp.ndarray | None = None   # (N, A, A) 1/sqrt(2)-scaled descriptors
     Gsq: jnp.ndarray | None = None   # (N, A, A, 3) scaled Jacobian field
+    # Precomputed per-point assembly projections (see _square_point_columns;
+    # N^2*A*120 bytes — built when that fits, i.e. the nanotube regime)
+    Usq: jnp.ndarray | None = None   # (N, N, A, 3)  U[j, n, b, x]
+    Zsq: jnp.ndarray | None = None   # (N, N, A, 3)  Z[j, n, a, y]
+    C1sq: jnp.ndarray | None = None  # (N, N, A, 3, 3) C1[j, n, b, x, y]
 
     @property
     def n_train(self) -> int:
@@ -132,7 +137,7 @@ def build_cache(
         Xqt = Xqt.astype(compute_dtype)
         A_exp = A_exp.astype(compute_dtype)
         A_exp1 = A_exp1.astype(compute_dtype)
-    Xsq = Gsq = None
+    Xsq = Gsq = Usq = Zsq = C1sq = None
     if R is not None:
         # square all-pairs layout for the large-A fast paths (exact-scaled:
         # see SquareCache)
@@ -146,11 +151,23 @@ def build_cache(
         isqrt2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, X.dtype))
         Xsq = ((SQRT5 / sig) * isqrt2) * inv
         Gsq = diffs * (isqrt2 * inv**3)[..., None]
+        if N * N * A * 120 <= int(2e9):
+            # per-point assembly projections, shared by every column of a
+            # point across ALL assembly calls (the panel-Cholesky loop was
+            # recomputing them 36x28 times -> 102 s of its 142 s build)
+            def one_point(j):
+                delta = (Xsq - Xsq[j][None]) * (sig / SQRT5)   # (N, A, A)
+                U = -2.0 * jnp.sum(delta[..., None] * Gsq[j][None], axis=2)
+                Z = 2.0 * jnp.sum(delta[..., None] * Gsq, axis=1)
+                C1 = 2.0 * jnp.einsum("ibx,niby->nbxy", Gsq[j], Gsq)
+                return U, Z, C1
+
+            Usq, Zsq, C1sq = jax.lax.map(one_point, jnp.arange(N))
     return KernelCache(
         X=X, Jc=Jc, S=S, P_idx=P_idx.astype(jnp.int32), Xq=Xq, Xqt=Xqt,
         A_exp=A_exp, A_exp1=A_exp1,
         sig=jnp.asarray(sig, X.dtype), lam=jnp.asarray(lam, X.dtype),
-        Xsq=Xsq, Gsq=Gsq,
+        Xsq=Xsq, Gsq=Gsq, Usq=Usq, Zsq=Zsq, C1sq=C1sq,
     )
 
 
@@ -929,14 +946,17 @@ def _square_point_columns(
     N, A = Xs.shape[0], Xs.shape[1]
     a1j = cache.A_exp1[:, j]                              # (N,)
     w5 = 5.0 * cache.A_exp[:, j] / cache.sig**2           # (N,) 5*base
-    # Xsq carries the kernel's q = sqrt(5)/sig scaling (matvec layout); the
-    # assembly pipeline contracts UNSCALED descriptor differences against
-    # the Jacobian field, so undo q here (the 1/sqrt(2) stays)
-    delta = (Xs - Xs[j][None]) * (cache.sig / SQRT5)      # (N, A, A)
     Gsj = Gs[j]                                           # (A, A, 3)
-    U = -2.0 * jnp.sum(delta[..., None] * Gsj[None], axis=2)   # (N, A, 3)
-    Z = 2.0 * jnp.sum(delta[..., None] * Gs, axis=1)           # (N, A, 3)
-    C1 = 2.0 * jnp.einsum("ibx,niby->nbxy", Gsj, Gs)           # (N, A, 3, 3)
+    if cache.Usq is not None:
+        U, Z, C1 = cache.Usq[j], cache.Zsq[j], cache.C1sq[j]
+    else:
+        # Xsq carries the kernel's q = sqrt(5)/sig scaling (matvec layout);
+        # the assembly pipeline contracts UNSCALED descriptor differences
+        # against the Jacobian field, so undo q here (the 1/sqrt(2) stays)
+        delta = (Xs - Xs[j][None]) * (cache.sig / SQRT5)  # (N, A, A)
+        U = -2.0 * jnp.sum(delta[..., None] * Gsj[None], axis=2)  # (N, A, 3)
+        Z = 2.0 * jnp.sum(delta[..., None] * Gs, axis=1)          # (N, A, 3)
+        C1 = 2.0 * jnp.einsum("ibx,niby->nbxy", Gsj, Gs)          # (N, A, 3, 3)
 
     g = bs.shape[0]
 

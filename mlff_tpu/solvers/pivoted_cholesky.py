@@ -32,6 +32,9 @@ import scipy.linalg
 
 from ..ops import kernel as knl
 from ..ops.descriptor import DescriptorSpec
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
 
 
 class PivotedCholeskyResult(NamedTuple):
@@ -344,6 +347,8 @@ def panel_pivoted_cholesky(
     L = jnp.zeros((n, K_pad), dtype)
     off = 0
     remaining = max_rank
+    t_phase = {"assemble": 0.0, "schur+gather": 0.0, "host": 0.0,
+               "commit": 0.0}
     while remaining > 0:
         b = min(block, remaining)
         masked = np.where(chosen, -np.inf, diag_host)
@@ -354,10 +359,16 @@ def panel_pivoted_cholesky(
         idx = np.sort(order)
         b = len(idx)
 
+        tr = time.perf_counter()
         cols = assemble(spec, cache, idx)                    # (n, b), no ridge
         cols = cols.at[jnp.asarray(idx), jnp.arange(b)].add(float(cache.lam))
+        cols.block_until_ready()
+        t_phase["assemble"] += time.perf_counter() - tr
+        tr = time.perf_counter()
         corr = _schur_correct(L, cols, jnp.asarray(idx))     # (n, b)
         A_ss = np.asarray(_gather_block(corr, jnp.asarray(idx)))  # (b, b)
+        t_phase["schur+gather"] += time.perf_counter() - tr
+        tr = time.perf_counter()
 
         # within-block greedy pivoting on host (b x b, negligible): keep the
         # numerically independent prefix in pivot order
@@ -383,9 +394,12 @@ def panel_pivoted_cholesky(
             np.tril(F[:r, :r]), np.eye(r), lower=True)
         Tm = np.zeros((b, block), dtype=np.float64)
         Tm[perm, :r] = Fr_inv.T
+        t_phase["host"] += time.perf_counter() - tr
+        tr = time.perf_counter()
         L, Lb_sumsq = _panel_commit(L, corr, jnp.asarray(Tm),
                                     jnp.asarray(off, jnp.int32))
         Lb_host_diag = np.asarray(Lb_sumsq)
+        t_phase["commit"] += time.perf_counter() - tr
 
         pvals_all.append(np.clip(diag_host[idx[perm]], 0, None))
         diag_host = diag_host - Lb_host_diag
@@ -403,6 +417,8 @@ def panel_pivoted_cholesky(
         remaining_diag=jnp.asarray(diag_host, dtype),
     )
     elapsed = time.perf_counter() - t0
+    log.info("panel cholesky phases: %s",
+             "  ".join(f"{k} {v:.1f}s" for k, v in t_phase.items()))
     info = {
         "time_cholesky": np.full(max(len(pivots), 1), elapsed / max(len(pivots), 1)),
         "L.shape": tuple(L.shape),

@@ -38,6 +38,8 @@ def main():
     p.add_argument("--precon", default="lev_random")
     p.add_argument("--k", type=int, default=None,
                    help="preconditioner rank (default: rule of thumb)")
+    p.add_argument("--apply-impl", default=None,
+                   help="xla (default) or df64 (Pallas double-f32 kernels)")
     p.add_argument("--labels", default="manufactured",
                    choices=["manufactured", "dataset"],
                    help="manufactured: y = (K + lam I) alpha* for a random "
@@ -56,6 +58,8 @@ def main():
     task = create_task(ds, args.n_train, ds, n_valid=10, sig=args.sig,
                        solver="cg", use_sym=False)
     n = int(np.asarray(task["F_train"]).size)
+    if args.apply_impl:
+        task["apply_impl"] = args.apply_impl
     if args.labels == "manufactured":
         import jax.numpy as jnp
         from mlff_tpu.ops import descriptor as dsc
