@@ -73,11 +73,17 @@ def build_preconditioner(
     info: dict = {}
     t0 = time.perf_counter()
 
+    apply_impl = str((task or {}).get("apply_impl", "xla"))
+
+    def _factor_precon(L):
+        P = pc.woodbury_from_factor(L, lam)
+        return pc.df64_from_split(P) if apply_impl == "df64" else P
+
     if strategy == "cholesky":
         res, info_chol = pivoted_cholesky(
             spec, cache, max_rank=k, use_E_cstr=use_E_cstr
         )
-        P = pc.woodbury_from_factor(res.L, lam)
+        P = _factor_precon(res.L)
         inducing = np.arange(k)  # reference uses a size marker here
         info.update(info_chol)
 
@@ -87,7 +93,7 @@ def build_preconditioner(
         res, info_chol = panel_pivoted_cholesky(
             spec, cache, max_rank=k, use_E_cstr=use_E_cstr
         )
-        P = pc.woodbury_from_factor(res.L, lam)
+        P = _factor_precon(res.L)
         inducing = np.sort(np.asarray(info_chol["pivots"]))
         info.update(info_chol)
 
@@ -97,7 +103,7 @@ def build_preconditioner(
         res, info_chol = block_rp_cholesky(
             spec, cache, max_rank=k, use_E_cstr=use_E_cstr
         )
-        P = pc.woodbury_from_factor(res.L, lam)
+        P = _factor_precon(res.L)
         inducing = np.sort(np.asarray(info_chol["pivots"]))
         info.update(info_chol)
 
@@ -141,7 +147,7 @@ def build_preconditioner(
         P = pc.nystrom_preconditioner(
             spec, cache, inducing, lam, use_E_cstr=use_E_cstr,
             method=str((task or {}).get("nystrom_method", "chol_host")),
-            apply_impl=str((task or {}).get("apply_impl", "xla")),
+            apply_impl=apply_impl,
         )
 
     else:

@@ -35,7 +35,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-train", type=int, default=28)
     p.add_argument("--sig", type=float, default=10.0)
-    p.add_argument("--precon", default="lev_random")
+    p.add_argument("--precon", default="cholesky_panel",
+                   help="best measured strategy for this system (the reference's own archived sweep shows pivoted Cholesky needs ~2x fewer iterations than lev_random on the nanotube)")
     p.add_argument("--k", type=int, default=None,
                    help="preconditioner rank (default: rule of thumb)")
     p.add_argument("--apply-impl", default=None,

@@ -79,6 +79,12 @@ def main():
           file=sys.stderr, flush=True)
     apply_jit = jax.jit(pc.woodbury_split_apply)
     timeit("woodbury apply", lambda: apply_jit(P, v))
+    try:
+        P64 = pc.df64_from_split(P)
+        apply64 = jax.jit(pc.df64_woodbury_apply)
+        timeit("df64 woodbury apply", lambda: apply64(P64, v))
+    except Exception as e:  # pallas unavailable off-TPU
+        print(f"  df64 apply unavailable: {e}", file=sys.stderr)
 
     y = v / jnp.linalg.norm(v)
     solver = PCGSolver((knl.matvec_psd_square, sq), P, chunk=50)
