@@ -303,16 +303,10 @@ def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburySplitPreconditio
     trsm noise into a (k, n) product — see WoodburySplitPreconditioner."""
     L = jnp.asarray(L)
     n, k = L.shape
-    n_chunks = max(1, -(-n // _GEMM_ROW_CHUNK))
-    pad = n_chunks * _GEMM_ROW_CHUNK - n
-    Lp = L
-    if pad and n_chunks > 1:
-        Lp = jnp.concatenate([L, jnp.zeros((pad, k), L.dtype)], axis=0)
-    else:
-        n_chunks = 1
+    chunk = min(n, _GEMM_ROW_CHUNK)
     tril = jnp.asarray(np.tril_indices(k))
     inner = _unpack_sym(
-        np.asarray(_gram_nm_tril(Lp, tril, n_chunks)), k)  # d2h k(k+1)/2
+        np.asarray(_gram_nm_tril(L, tril, chunk)), k)      # d2h k(k+1)/2
     W2 = jnp.asarray(_host_inner_isqrt(inner, lam, "chol"))
     B, W2 = _pad_split(L, W2)
     return WoodburySplitPreconditioner(
@@ -467,15 +461,11 @@ def _nystrom_factor_split(
     # O(m^2 n) device work is CHUNKED over the n axis: TPU f64 matmul
     # emulation splits each operand into 8 f32 slices, so one fused
     # (75006, 3753) f64 GEMM holds ~4 x 8.4 GB of operand splits — an
-    # instant HBM OOM.  lax.map over row chunks keeps one chunk's splits
-    # live; the donated operand reuses K_nm's buffer in place.
+    # instant HBM OOM.  Dynamic-slice chunking with a masked ragged tail
+    # keeps one chunk's splits live and avoids any padded copy of the
+    # factor (the in-place whiten reuses K_nm's donated buffer).
     n = K_nm.shape[0]
-    n_chunks = max(1, -(-n // _GEMM_ROW_CHUNK))
-    pad = n_chunks * _GEMM_ROW_CHUNK - n
-    if pad:
-        K_nm = jnp.concatenate(
-            [K_nm, jnp.zeros((pad, K_nm.shape[1]), K_nm.dtype)], axis=0
-        )
+    chunk = min(n, _GEMM_ROW_CHUNK)
     # Two host round trips, each m x m (the ~16 MB/s tunnel + host eigh are
     # the cost; divide-and-conquer driver is 7.0 vs 8.5 s at m = 3753).
     #
@@ -500,8 +490,8 @@ def _nystrom_factor_split(
     W1 = _put_factor(W1_h, host_decomp)
     W1.block_until_ready()
     t.mark("h2d_W1")
-    B_t = _whiten_nm(K_nm, W1, n_chunks)                   # (n_pad, m), donates
-    inner_packed = _gram_nm_tril(B_t, tril, n_chunks)
+    B_t = _whiten_nm(K_nm, W1, chunk)                      # (n, m), in place
+    inner_packed = _gram_nm_tril(B_t, tril, chunk)
     inner_packed.block_until_ready()
     t.mark("whiten+gram")
     inner = _unpack_sym(np.asarray(inner_packed), m)       # d2h m(m+1)/2
@@ -512,7 +502,7 @@ def _nystrom_factor_split(
     W2.block_until_ready()
     t.mark("h2d_W2")
     t.report("nystrom factor stages")
-    return (B_t[:n] if pad else B_t), W2
+    return B_t, W2
 
 
 class _StageTimer:
@@ -575,8 +565,8 @@ def _gather_rows_tril(K_nm, idxs, tril):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _gram_nm_tril(B_t, tril, n_chunks):
-    G = _gram_nm(B_t, n_chunks)
+def _gram_nm_tril(B_t, tril, chunk):
+    G = _gram_nm(B_t, chunk)
     return G[tril[0], tril[1]]
 
 
@@ -591,24 +581,52 @@ def _unpack_sym(packed: np.ndarray, m: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, n_chunks: int):
-    """B^T = K_nm W1 (n, m), row-chunked; K_nm's buffer is donated."""
+def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, chunk: int):
+    """B^T = K_nm W1 (n, m), row-chunked IN PLACE (K_nm donated).
+
+    No row padding: a padded copy of the factor transiently doubles its
+    HBM footprint (3.9 GB at n=158k, k=3072 — OOM).  Full chunks
+    transform in place via dynamic slices; the ragged tail reads the
+    window [n-chunk, n), transforms it, and keeps the already-whitened
+    overlap rows from the window itself."""
     n, m = K_nm.shape
-    out = jax.lax.map(lambda Kb: Kb @ W1, K_nm.reshape(n_chunks, -1, m))
-    return out.reshape(n, m)
+    n_full = (n // chunk) * chunk
+
+    def body(i, B):
+        blk = jax.lax.dynamic_slice(B, (i * chunk, 0), (chunk, m))
+        return jax.lax.dynamic_update_slice(B, blk @ W1, (i * chunk, 0))
+
+    B = jax.lax.fori_loop(0, n // chunk, body, K_nm)
+    if n_full != n:
+        start = n - chunk
+        blk = jax.lax.dynamic_slice(B, (start, 0), (chunk, m))
+        tr = blk @ W1
+        fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
+        B = jax.lax.dynamic_update_slice(
+            B, jnp.where(fresh, tr, blk), (start, 0))
+    return B
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _gram_nm(B_t: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
-    """Gram B B^T = B_t^T B_t (m, m), accumulated over row chunks."""
+def _gram_nm(B_t: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Gram B B^T = B_t^T B_t (m, m), accumulated over row chunks; the
+    ragged tail window is row-masked so no padding is needed."""
     n, m = B_t.shape
-    Bc = B_t.reshape(n_chunks, -1, m)
+    n_full = (n // chunk) * chunk
 
     def body(i, acc):
-        Bb = Bc[i]
+        Bb = jax.lax.dynamic_slice(B_t, (i * chunk, 0), (chunk, m))
         return acc + Bb.T @ Bb
 
-    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((m, m), B_t.dtype))
+    acc = jax.lax.fori_loop(0, n // chunk, body,
+                            jnp.zeros((m, m), B_t.dtype))
+    if n_full != n:
+        start = n - chunk
+        Bb = jax.lax.dynamic_slice(B_t, (start, 0), (chunk, m))
+        fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
+        Bb = jnp.where(fresh, Bb, 0.0)
+        acc = acc + Bb.T @ Bb
+    return acc
 
 
 @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))

@@ -27,8 +27,9 @@ from mlff_tpu.experiments.rule_of_thumb import get_params, rule_of_thumb  # noqa
 from mlff_tpu.models.gdml import Trainer  # noqa: E402
 from mlff_tpu.models.task import create_task  # noqa: E402
 
-# minutes, rule_of_thumb.csv (ethanol): row 0 n=31,400 -> 0.8, row 7 n=75,000 -> 2.7
-REFERENCE_MIN = {31482: 0.8, 75006: 2.7}
+# minutes, rule_of_thumb.csv (ethanol): row 0 n=31,400 -> 0.8, row 7
+# n=75,000 -> 2.7, row 14 n=158,000 -> 12
+REFERENCE_MIN = {31482: 0.8, 75006: 2.7, 157788: 12.0}
 
 
 def main():

@@ -87,13 +87,26 @@ def main():
         print(f"  df64 apply unavailable: {e}", file=sys.stderr)
 
     y = v / jnp.linalg.norm(v)
-    solver = PCGSolver((knl.matvec_psd_square, sq), P, chunk=50)
-    res = solver.solve(y, tol=1e-300, maxiter=50)
-    t0 = time.perf_counter()
-    res = solver.solve(y, tol=1e-300, maxiter=50)
-    dt = (time.perf_counter() - t0) / res.num_iters
-    print(f"  pcg (square mv): {dt*1e3:8.3f} ms/iter",
+
+    def pcg_rate(label, precon):
+        solver = PCGSolver((knl.matvec_psd_square, sq), precon, chunk=50)
+        res = solver.solve(y, tol=1e-300, maxiter=50)
+        t0 = time.perf_counter()
+        res = solver.solve(y, tol=1e-300, maxiter=50)
+        dt = (time.perf_counter() - t0) / res.num_iters
+        print(f"  pcg {label}: {dt*1e3:8.3f} ms/iter",
+              file=sys.stderr, flush=True)
+        return dt
+
+    t_all = pcg_rate("(square mv + xla apply)  ", P)
+    t_mv = pcg_rate("(square mv, no precon)   ", None)
+    print(f"  => apply cost {1e3*(t_all - t_mv):.1f} ms/iter",
           file=sys.stderr, flush=True)
+    try:
+        P64 = pc.df64_from_split(P)  # consumes P.B
+        pcg_rate("(square mv + df64 apply) ", P64)
+    except Exception as e:
+        print(f"  df64 unavailable: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
