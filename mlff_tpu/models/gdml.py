@@ -87,6 +87,13 @@ class Trainer:
 
 
     @staticmethod
+    def _pairwise_fits(n_train: int, n_perms: int) -> bool:
+        """Whether the (N, M) pairwise caches fit comfortably (2 arrays,
+        f64).  Beyond ~3 GB the matvec switches to the on-the-fly tiled
+        backend (ops.kernel._matvec_ref_otf)."""
+        return 2 * n_train * n_train * n_perms * 8 <= int(3e9)
+
+    @staticmethod
     def _square_R(task, spec, P_idx) -> "np.ndarray | None":
         """R_train for the kernel cache's square all-pairs fields — only for
         single-perm molecules whose descriptor size trips the large-D paths
@@ -159,9 +166,12 @@ class Trainer:
             assert break_percentage is None or 0 <= break_percentage <= 1
             task["lam"] = CG_LAM  # stronger ridge for the iterative path
             t_cache = time.perf_counter()
-            cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
-                                    R=self._square_R(task, spec, P_idx))
-            jax.block_until_ready(cache.A_exp)
+            cache = knl.build_cache(
+                X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
+                R=self._square_R(task, spec, P_idx),
+                pairwise=self._pairwise_fits(X.shape[0], P_idx.shape[0]),
+            )
+            jax.block_until_ready(cache.Xqt)
             log.info("kernel cache build: %.1fs", time.perf_counter() - t_cache)
             res = solve_iterative(
                 spec, cache, task, y, y_std,
@@ -189,8 +199,11 @@ class Trainer:
             # standalone matrix-free pivoted-Cholesky PCG
             # (reference iterative_cholesky.py:53-74)
             task["lam"] = CG_LAM
-            cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
-                                    R=self._square_R(task, spec, P_idx))
+            cache = knl.build_cache(
+                X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
+                R=self._square_R(task, spec, P_idx),
+                pairwise=self._pairwise_fits(X.shape[0], P_idx.shape[0]),
+            )
             k = int((break_percentage or 0.1) * cache.n)
             t0 = time.perf_counter()
             fac, info_chol = pivoted_cholesky(spec, cache, max_rank=k)

@@ -100,7 +100,7 @@ def pairwise_dist_gram(Xq_a: jnp.ndarray, Xq_b: jnp.ndarray):
     return jnp.sqrt(d2)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype",))
+@partial(jax.jit, static_argnames=("compute_dtype", "pairwise"))
 def build_cache(
     X: jnp.ndarray,
     Jc: jnp.ndarray,
@@ -110,6 +110,7 @@ def build_cache(
     lam: float,
     compute_dtype=None,
     R: jnp.ndarray | None = None,
+    pairwise: bool = True,
 ) -> KernelCache:
     """Build the per-solve operator cache.
 
@@ -129,14 +130,21 @@ def build_cache(
     q = SQRT5 / sig
     Xq = q * X
     Xqt = permuted_descriptors(Xq, P_idx)
-    dist = pairwise_dist_gram(Xq, Xqt)
-    A_exp = (5.0 / (3.0 * sig**2)) * jnp.exp(-dist)
-    A_exp1 = A_exp * (1.0 + dist)
+    if pairwise:
+        dist = pairwise_dist_gram(Xq, Xqt)
+        A_exp = (5.0 / (3.0 * sig**2)) * jnp.exp(-dist)
+        A_exp1 = A_exp * (1.0 + dist)
+    else:
+        # large-n mode: the (N, M) pairwise caches alone cost 5.5 GB at
+        # n=500k — the matvec recomputes them per row tile instead
+        # (_matvec_ref_otf); everything else is unchanged
+        A_exp = A_exp1 = None
     if compute_dtype is not None:
         Xq = Xq.astype(compute_dtype)
         Xqt = Xqt.astype(compute_dtype)
-        A_exp = A_exp.astype(compute_dtype)
-        A_exp1 = A_exp1.astype(compute_dtype)
+        if pairwise:
+            A_exp = A_exp.astype(compute_dtype)
+            A_exp1 = A_exp1.astype(compute_dtype)
     Xsq = Gsq = Usq = Zsq = C1sq = None
     if R is not None:
         # square all-pairs layout for the large-A fast paths (exact-scaled:
@@ -209,6 +217,53 @@ def perm_expand_w(w: jnp.ndarray, P_idx: jnp.ndarray) -> jnp.ndarray:
     return w[:, P_idx].reshape(-1, w.shape[1])
 
 
+# row-tile for the on-the-fly matvec: (tile, M) pairwise transients,
+# ~0.6 GB each at M = 18.5k (n = 500k)
+_OTF_TILE = 4096
+
+
+@jax.jit
+def _matvec_ref_otf(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
+    """K_ref @ v with pairwise weights recomputed per row tile (the cache
+    carries no (N, M) arrays — build_cache(pairwise=False)).
+
+    This is the SURVEY §7.2.3 'on-the-fly' backend: one (tile, D) x (D, M)
+    distance GEMM + exp per tile replaces the cached A_exp/A_exp1 reads.
+    At n = 500k the cached layout alone exceeds HBM; here the extra
+    per-iteration cost is the D-deep Gram GEMM + 343M exps (~10% of the
+    iteration at that scale)."""
+    N = cache.X.shape[0]
+    A = cache.S.shape[1]
+    D = cache.X.shape[1]
+    v3 = v.reshape(N, A, 3)
+    w = d_desc_dot_vec(cache.Jc, cache.S, v3)       # (N, D)
+    wt = perm_expand_w(w, cache.P_idx)              # (M, D)
+    ct = jnp.sum(cache.Xqt * wt, axis=1)            # (M,)
+    sig = cache.sig
+    c0 = 5.0 / (3.0 * sig**2)
+
+    tile = min(_OTF_TILE, N)
+    n_tiles = -(-N // tile)
+    Xq_pad = cache.Xq
+    if n_tiles * tile != N:  # pad the small (N, D) queries only
+        Xq_pad = jnp.concatenate(
+            [Xq_pad, jnp.zeros((n_tiles * tile - N, D), Xq_pad.dtype)])
+
+    def one_tile(Xq_t):                              # (tile, D)
+        dist = pairwise_dist_gram(Xq_t, cache.Xqt)   # (tile, M)
+        A_exp = c0 * jnp.exp(-dist)
+        A_exp1 = A_exp * (1.0 + dist)
+        F_desc, _ = _desc_forces_x(
+            cache.Xqt, sig, Xq_t, A_exp, A_exp1, wt)
+        return F_desc                                # (tile, D)
+
+    F_desc = jax.lax.map(
+        one_tile, Xq_pad.reshape(n_tiles, tile, D)
+    ).reshape(-1, D)[:N]
+    out = vec_dot_d_desc(cache.Jc, cache.S, F_desc)
+    return out.reshape(-1)
+
+
 @jax.jit
 def matvec_ref(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
     """K_ref @ v: the reference-convention (negative-definite) kernel matvec,
@@ -217,6 +272,8 @@ def matvec_ref(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
 
     v: flat (n,).  Returns flat (n,).
     """
+    if cache.A_exp is None:
+        return _matvec_ref_otf(cache, v)
     N = cache.X.shape[0]
     A = cache.S.shape[1]
     v3 = v.reshape(N, A, 3)

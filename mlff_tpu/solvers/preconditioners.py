@@ -117,14 +117,60 @@ class WoodburySplitPreconditioner(NamedTuple):
         return (self.B @ self.W2).T
 
 
+# chunk the apply's (n, m) passes above this factor size (an unfused
+# broadcast-multiply transient equals B's own footprint — 8 GB at n=500k)
+_APPLY_CHUNK_BYTES = int(2e9)
+_APPLY_CHUNK_ROWS = 16384
+
+
 def woodbury_split_apply(
     P: "WoodburySplitPreconditioner", v: jnp.ndarray
 ) -> jnp.ndarray:
     """lam^-1 (v - B W2 W2^T B^T v), VPU broadcast-reduce form for the big
     (n, m) passes (see woodbury_apply for why not GEMVs)."""
+    if P.B.size * 8 > _APPLY_CHUNK_BYTES:
+        return _woodbury_split_apply_chunked(P, v)
     u = jnp.sum(P.B * v[:, None], axis=0)               # (m,)  == B^T v
     x = P.W2 @ (P.W2.T @ u)                             # (m,)  tiny GEMVs
     return (v - jnp.sum(P.B * x[None, :], axis=1)) / P.lam
+
+
+def _woodbury_split_apply_chunked(
+    P: "WoodburySplitPreconditioner", v: jnp.ndarray,
+    chunk: int = _APPLY_CHUNK_ROWS,
+) -> jnp.ndarray:
+    """Row-chunked apply: keeps per-pass transients at (chunk, m).  The
+    ragged tail window is row-masked in the accumulating pass; the write
+    pass may harmlessly rewrite overlap rows with identical values."""
+    n, m = P.B.shape
+    chunk = min(chunk, n)
+    n_full = (n // chunk) * chunk
+
+    def pass1(i, acc):
+        Bb = jax.lax.dynamic_slice(P.B, (i * chunk, 0), (chunk, m))
+        vb = jax.lax.dynamic_slice(v, (i * chunk,), (chunk,))
+        return acc + jnp.sum(Bb * vb[:, None], axis=0)
+
+    u = jax.lax.fori_loop(0, n // chunk, pass1,
+                          jnp.zeros(m, P.B.dtype))
+    if n_full != n:
+        start = n - chunk
+        Bb = jax.lax.dynamic_slice(P.B, (start, 0), (chunk, m))
+        vb = jax.lax.dynamic_slice(v, (start,), (chunk,))
+        fresh = (jnp.arange(chunk) >= n_full - start)
+        u = u + jnp.sum(Bb * jnp.where(fresh, vb, 0.0)[:, None], axis=0)
+
+    x = P.W2 @ (P.W2.T @ u)
+
+    def pass2(i, y):
+        start = jnp.minimum(i * chunk, n - chunk)
+        Bb = jax.lax.dynamic_slice(P.B, (start, 0), (chunk, m))
+        yb = jnp.sum(Bb * x[None, :], axis=1)
+        return jax.lax.dynamic_update_slice(y, yb, (start,))
+
+    y = jax.lax.fori_loop(0, -(-n // chunk), pass2,
+                          jnp.zeros(n, P.B.dtype))
+    return (v - y) / P.lam
 
 
 class DF64WoodburyPreconditioner(NamedTuple):

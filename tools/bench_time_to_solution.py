@@ -28,8 +28,10 @@ from mlff_tpu.models.gdml import Trainer  # noqa: E402
 from mlff_tpu.models.task import create_task  # noqa: E402
 
 # minutes, rule_of_thumb.csv (ethanol): row 0 n=31,400 -> 0.8, row 7
-# n=75,000 -> 2.7, row 14 n=158,000 -> 12
-REFERENCE_MIN = {31482: 0.8, 75006: 2.7, 157788: 12.0}
+# n=75,000 -> 2.7, row 14 n=158,000 -> 12; n=500,000 from the archived
+# run data/data/rule_of_thumb/n = 500000/2022320_0944_... (best
+# total_time_solve 8,993 s at k/n=1.39%)
+REFERENCE_MIN = {31482: 0.8, 75006: 2.7, 157788: 12.0, 500013: 149.9}
 
 
 def main():
