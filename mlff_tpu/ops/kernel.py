@@ -829,15 +829,31 @@ def assemble_columns(
         # points with more partials split into several groups.
         g = int(min(8, max(1, round(len(col_idxs) / len(uniq_points)))))
         grp_pt, grp_t, flat_valid = _group_columns(points, col_idxs % T, g)
-        C = len(grp_pt)
+        k = len(col_idxs)
+        # bucket the group count C (pad with all-invalid groups -> zero
+        # columns) and the selected-column count k (pad with repeats of
+        # slot 0, sliced off below) so k-sweeps and re-selections share
+        # one compiled executable instead of one per (C, k) pair — each
+        # grouped-assembly compile costs tens of seconds over the
+        # remote-compile tunnel
+        C = -(-len(grp_pt) // 64) * 64
+        if C > len(grp_pt):
+            grp_pt = np.concatenate(
+                [grp_pt, np.zeros(C - len(grp_pt), dtype=np.int64)])
+            grp_t = np.concatenate(
+                [grp_t, np.full((C - len(grp_t), g), -1, dtype=np.int64)])
+        k_pad = -(-k // 512) * 512
+        flat_valid = np.concatenate(
+            [flat_valid, np.zeros(k_pad - k, dtype=np.int64)])
         # row tile sized so the (tile, C, g, P, D) broadcast-reduce
         # intermediates stay ~<= 0.2 GB each
         row_bytes = C * g * max(cache.n_perms, 1) * spec.dim * 8
         tile = max(2, min(N, int(2e8 / max(row_bytes, 1))))
-        return _assemble_columns_grouped(
+        out = _assemble_columns_grouped(
             T, cache, jnp.asarray(grp_pt), jnp.asarray(grp_t), tile,
             jnp.asarray(flat_valid),
         )
+        return out[:, :k]
 
     blocks = []
     for start in range(0, len(uniq_points), chunk):
