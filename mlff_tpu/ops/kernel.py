@@ -769,11 +769,14 @@ def _assemble_columns_grouped(
         W = jnp.sum(c_iso[:, :, None, :, None] * jcol[None], axis=3)
         G = W - 5.0 * z                                 # (B, C, g, D)
         out = jnp.einsum("bcsd,bdt->bcst", G, Jf_I)     # (B, C, g, T)
-        return out.transpose(0, 3, 1, 2).reshape(tile * T, -1)
+        out = out.transpose(0, 3, 1, 2).reshape(tile * T, -1)
+        # select the requested columns per row tile: the full (n, C*g)
+        # slot array never materializes (at n=158k, k=6144 it cost a
+        # 5.2 GB HLO temp on top of the (n, k) result -> HBM OOM)
+        return out[:, flat_valid] if flat_valid is not None else out
 
-    out = jax.lax.map(one, starts)                      # (n_tiles, tile*T, C*g)
-    out = out.reshape(n_tiles * tile * T, -1)[: N * T]
-    return out[:, flat_valid] if flat_valid is not None else out
+    out = jax.lax.map(one, starts)                      # (n_tiles, tile*T, k)
+    return out.reshape(n_tiles * tile * T, -1)[: N * T]
 
 
 @partial(jax.jit, static_argnums=(0,))
