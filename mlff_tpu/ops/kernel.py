@@ -856,7 +856,9 @@ def assemble_columns(
             T, cache, jnp.asarray(grp_pt), jnp.asarray(grp_t), tile,
             jnp.asarray(flat_valid),
         )
-        return out[:, :k]
+        # the slice copies (transiently 2x the result in HBM at large n) —
+        # skip it when k already sits on the bucket boundary
+        return out if k == k_pad else out[:, :k]
 
     blocks = []
     for start in range(0, len(uniq_points), chunk):
