@@ -749,10 +749,14 @@ def _assemble_columns_grouped(
     jcol = _columns_jcol(cache, grp_pt, grp_t)          # (C, g, P, D)
     X_g = cache.X[grp_pt][:, cache.P_idx]               # (C, P, D)
     n_tiles = -(-N // tile)
-    starts = jnp.arange(n_tiles) * tile
+    # the tail tile overlaps instead of padding: every tile computes `tile`
+    # true rows, written at its exact offset — the lax.map + row-slice form
+    # held the stacked (n_tiles*tile*T, k) buffer AND its sliced copy live
+    # (2 x 7.8 GB at n=158k, k=6144 -> runtime HBM OOM)
+    starts = jnp.minimum(jnp.arange(n_tiles) * tile, max(N - tile, 0))
 
     def one(start):
-        I_idx = jnp.clip(start + jnp.arange(tile), 0, N - 1)
+        I_idx = start + jnp.arange(tile)
         X_I = cache.X[I_idx]                            # (B, D)
         Jf_I = _inflate_full(cache.Jc[I_idx], cache.S)  # (B, D, T)
         delta = X_I[:, None, None, :] - X_g[None]       # (B, C, P, D)
@@ -775,8 +779,15 @@ def _assemble_columns_grouped(
         # 5.2 GB HLO temp on top of the (n, k) result -> HBM OOM)
         return out[:, flat_valid] if flat_valid is not None else out
 
-    out = jax.lax.map(one, starts)                      # (n_tiles, tile*T, k)
-    return out.reshape(n_tiles * tile * T, -1)[: N * T]
+    k_out = int(flat_valid.shape[0]) if flat_valid is not None else (
+        int(grp_t.shape[0] * grp_t.shape[1]))
+
+    def step(buf, start):
+        return jax.lax.dynamic_update_slice(buf, one(start), (start * T, 0)), None
+
+    buf = jnp.zeros((N * T, k_out), dtype=cache.X.dtype)
+    out, _ = jax.lax.scan(step, buf, starts)
+    return out
 
 
 @partial(jax.jit, static_argnums=(0,))
