@@ -254,6 +254,15 @@ def warm_host_transfer() -> None:
     ``copy_to_host_async`` at training start hides that setup under the
     descriptor/kernel-cache/assembly work instead of landing it on the
     factorization's critical path.  No-op on backends without async copy.
+
+    MEMORY SIDE EFFECT (load-bearing): the first d2h also permanently
+    reserves ~6-7 GB of the chip's 16 GB HBM for the runtime's transfer
+    staging, dropping the largest allocatable buffer from ~14 GB to ~8 GB
+    — and it hard-fails with RESOURCE_EXHAUSTED if that much isn't free
+    at first-transfer time (measured, see utils/hbm.py and RESULTS.md
+    "Axon runtime memory model").  Running the warm-up FIRST, before any
+    large allocation, is therefore mandatory, and all large long-lived
+    buffers must be budgeted against the post-d2h ceiling.
     """
     global _tunnel_warmed
     if _tunnel_warmed:
@@ -396,6 +405,18 @@ def nystrom_preconditioner(
     import time as _time
 
     inducing_idxs = np.sort(np.asarray(inducing_idxs))
+    from ..utils.hbm import post_d2h_ceiling_bytes
+
+    ceiling = post_d2h_ceiling_bytes()
+    factor_bytes = cache.n * len(inducing_idxs) * 8
+    if ceiling is not None and factor_bytes > 0.95 * ceiling:
+        log.warning(
+            "Nystrom factor (n=%d, m=%d) needs %.1f GB but the post-d2h "
+            "HBM ceiling is %.1f GB (axon d2h staging reserve, see "
+            "utils/hbm.py) — expect RESOURCE_EXHAUSTED; reduce k to <= %d",
+            cache.n, len(inducing_idxs), factor_bytes / 1e9, ceiling / 1e9,
+            int(0.9 * ceiling / (cache.n * 8)),
+        )
     t0 = _time.perf_counter()
     if use_E_cstr:
         K_nm = knl.assemble_columns_ecstr(spec, cache, inducing_idxs)

@@ -1,0 +1,47 @@
+"""HBM capacity model for the axon single-chip TPU runtime.
+
+Measured behavior of the tunnel runtime (TPU v5e, 16 GB HBM), established
+by bisection probes (tools/probe_donation_leak.py and the /tmp probe
+series recorded in RESULTS.md "Axon runtime memory model"):
+
+  * A fresh process can allocate ~14 GB.
+  * The FIRST device->host transfer of the process permanently reserves
+    ~6-7 GB of HBM inside the transfer runtime (staging).  After any d2h,
+    the largest allocatable buffer is ~8 GB.  The reserve is one-time:
+    later transfers cost nothing further.  h2d reserves nothing.
+  * If the first d2h happens when less than the reserve is free, it does
+    NOT degrade — it hard-fails with RESOURCE_EXHAUSTED.  Hence
+    ``preconditioners.warm_host_transfer`` must run before any large
+    allocation.
+
+Every long-lived buffer whose size we choose (the Nyström factor B at
+(n, k) f64 is the big one) must therefore be budgeted against the
+POST-d2h ceiling, not the physical HBM size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_CEILING_ENV = "MLFF_TPU_HBM_CEILING_GB"
+
+
+def post_d2h_ceiling_bytes() -> int | None:
+    """Usable-HBM ceiling once the d2h staging reserve is paid, or None
+    when the backend has no such reserve (CPU, native TPU runtimes).
+
+    Override with ``MLFF_TPU_HBM_CEILING_GB`` (e.g. on a runtime whose
+    reserve differs from the measured v5e tunnel value).
+    """
+    env = os.environ.get(_CEILING_ENV)
+    if env:
+        return int(float(env) * 1e9)
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - uninitialized backend
+        return None
+    if backend != "axon":
+        return None
+    return int(8.0e9)
