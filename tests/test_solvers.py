@@ -312,3 +312,13 @@ def test_unpack_triu_device_roundtrip():
     dense = rng.standard_normal((9, 9))
     np.testing.assert_array_equal(np.asarray(pc._put_factor(dense, "eigh")),
                                   dense)
+
+
+def test_post_d2h_ceiling_model(monkeypatch):
+    """utils.hbm: env override wins; CPU backend has no staging reserve."""
+    from mlff_tpu.utils import hbm
+
+    monkeypatch.setenv("MLFF_TPU_HBM_CEILING_GB", "7.5")
+    assert hbm.post_d2h_ceiling_bytes() == int(7.5e9)
+    monkeypatch.delenv("MLFF_TPU_HBM_CEILING_GB")
+    assert hbm.post_d2h_ceiling_bytes() is None  # tests run on CPU
