@@ -5,18 +5,23 @@ by bisection probes (tools/probe_donation_leak.py and the /tmp probe
 series recorded in RESULTS.md "Axon runtime memory model"):
 
   * A fresh process can allocate ~14 GB.
-  * The FIRST device->host transfer of the process permanently reserves
-    ~6-7 GB of HBM inside the transfer runtime (staging).  After any d2h,
-    the largest allocatable buffer is ~8 GB.  The reserve is one-time:
-    later transfers cost nothing further.  h2d reserves nothing.
-  * If the first d2h happens when less than the reserve is free, it does
-    NOT degrade — it hard-fails with RESOURCE_EXHAUSTED.  Hence
+  * The FIRST device->host transfer of the process permanently splits the
+    heap: after any d2h, the largest SINGLE allocatable buffer is ~8 GB.
+    One-time; later transfers cost nothing further.  h2d reserves nothing.
+  * The limit is PER BUFFER, not total capacity: after the first d2h,
+    2 x 5 GB, 3 x 4 GB, 4 x 3 GB and 6 x 2 GB all allocate (>= 12 GB
+    held simultaneously), while a single 9 GB buffer fails.  The d2h
+    staging carve-out fragments the address space rather than consuming
+    the memory.
+  * If the first d2h happens when less than ~6 GB is free, it does NOT
+    degrade — it hard-fails with RESOURCE_EXHAUSTED.  Hence
     ``preconditioners.warm_host_transfer`` must run before any large
     allocation.
 
 Every long-lived buffer whose size we choose (the Nyström factor B at
 (n, k) f64 is the big one) must therefore be budgeted against the
-POST-d2h ceiling, not the physical HBM size.
+POST-d2h per-buffer ceiling — or stored in row blocks to use the ~12 GB
+total that remains reachable in pieces.
 """
 
 from __future__ import annotations
