@@ -173,6 +173,85 @@ def _woodbury_split_apply_chunked(
     return (v - y) / P.lam
 
 
+class WoodburyColBlockPreconditioner(NamedTuple):
+    """Split Woodbury apply with B stored as COLUMN blocks (n, m_c).
+
+    Mathematically identical to WoodburySplitPreconditioner with
+    B = concat(Bs, axis=1); exists because the axon runtime's d2h staging
+    carve-out caps any SINGLE HBM buffer at ~8 GB while ~12 GB remains
+    allocatable in pieces (utils/hbm.py).  Block widths are compile-shape
+    buckets; the last block is zero-column padded (inert, like
+    WoodburySplitPreconditioner's padding).
+
+        u_c = B_c^T v                 (per block, row-chunked)
+        x = W2 (W2^T concat(u))       (m, m) GEMVs
+        y = sum_c B_c x_c             (per block, row-chunked)
+        P^-1 v = lam^-1 (v - y)
+    """
+
+    Bs: tuple  # of (n, m_c) column blocks
+    W2: jnp.ndarray   # (m, m) inner inverse-sqrt factor
+    lam: jnp.ndarray  # ()
+
+    def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
+        return woodbury_colblock_apply(self, v)
+
+    def as_op(self):
+        return woodbury_colblock_apply, self
+
+
+def _block_pass1(B: jnp.ndarray, v: jnp.ndarray,
+                 chunk: int = _APPLY_CHUNK_ROWS) -> jnp.ndarray:
+    """u = B^T v for one (n, m_c) block, row-chunked broadcast-reduce."""
+    n, m = B.shape
+    chunk = min(chunk, n)
+    n_full = (n // chunk) * chunk
+
+    def body(i, acc):
+        Bb = jax.lax.dynamic_slice(B, (i * chunk, 0), (chunk, m))
+        vb = jax.lax.dynamic_slice(v, (i * chunk,), (chunk,))
+        return acc + jnp.sum(Bb * vb[:, None], axis=0)
+
+    u = jax.lax.fori_loop(0, n // chunk, body, jnp.zeros(m, B.dtype))
+    if n_full != n:
+        start = n - chunk
+        Bb = jax.lax.dynamic_slice(B, (start, 0), (chunk, m))
+        vb = jax.lax.dynamic_slice(v, (start,), (chunk,))
+        fresh = (jnp.arange(chunk) >= n_full - start)
+        u = u + jnp.sum(Bb * jnp.where(fresh, vb, 0.0)[:, None], axis=0)
+    return u
+
+
+def _block_pass2(B: jnp.ndarray, x: jnp.ndarray,
+                 chunk: int = _APPLY_CHUNK_ROWS) -> jnp.ndarray:
+    """y = B x for one (n, m_c) block, row-chunked (overlap rows of the
+    ragged tail window rewrite identical values, like the split apply)."""
+    n, m = B.shape
+    chunk = min(chunk, n)
+
+    def body(i, y):
+        start = jnp.minimum(i * chunk, n - chunk)
+        Bb = jax.lax.dynamic_slice(B, (start, 0), (chunk, m))
+        yb = jnp.sum(Bb * x[None, :], axis=1)
+        return jax.lax.dynamic_update_slice(y, yb, (start,))
+
+    return jax.lax.fori_loop(0, -(-n // chunk), body, jnp.zeros(n, B.dtype))
+
+
+def woodbury_colblock_apply(
+    P: "WoodburyColBlockPreconditioner", v: jnp.ndarray
+) -> jnp.ndarray:
+    """lam^-1 (v - B W2 W2^T B^T v) over column blocks of B."""
+    u = jnp.concatenate([_block_pass1(B, v) for B in P.Bs])
+    x = P.W2 @ (P.W2.T @ u)
+    off = 0
+    y = jnp.zeros_like(v)
+    for B in P.Bs:
+        y = y + _block_pass2(B, jax.lax.slice(x, (off,), (off + B.shape[1],)))
+        off += B.shape[1]
+    return (v - y) / P.lam
+
+
 class DF64WoodburyPreconditioner(NamedTuple):
     """Split Woodbury apply with the two (n, m) passes running as Pallas
     double-f32 kernels (ops.pallas_df64) instead of XLA's f64 emulation.
@@ -378,6 +457,7 @@ def nystrom_preconditioner(
     method: str = "chol_host",
     rank_tol: float = 1e-10,
     apply_impl: str = "xla",
+    block_cols: int | None = None,
 ) -> WoodburyPreconditioner:
     """Nyström preconditioner from a column subset, whitened form.
 
@@ -409,15 +489,33 @@ def nystrom_preconditioner(
 
     ceiling = post_d2h_ceiling_bytes()
     factor_bytes = cache.n * len(inducing_idxs) * 8
-    if ceiling is not None and factor_bytes > 0.95 * ceiling:
-        log.warning(
-            "Nystrom factor (n=%d, m=%d) needs %.1f GB but the post-d2h "
-            "HBM ceiling is %.1f GB (axon d2h staging reserve, see "
-            "utils/hbm.py) — expect RESOURCE_EXHAUSTED; reduce k to <= %d",
-            cache.n, len(inducing_idxs), factor_bytes / 1e9, ceiling / 1e9,
-            int(0.9 * ceiling / (cache.n * 8)),
+    if (block_cols is None and ceiling is not None
+            and factor_bytes > 0.9 * ceiling
+            and method in ("chol_host", "eigh") and apply_impl == "xla"):
+        # past the per-buffer ceiling: store B as column blocks (the
+        # runtime still serves ~12 GB in pieces, utils/hbm.py).  Bucket
+        # the width to the assembly's 512-column compile-shape grid.
+        width = int(0.45 * ceiling / (cache.n * 8)) // 512 * 512
+        block_cols = max(512, width)
+        log.info(
+            "Nystrom factor (n=%d, m=%d, %.1f GB) exceeds the %.1f GB "
+            "per-buffer post-d2h ceiling — using column blocks of %d",
+            cache.n, len(inducing_idxs), factor_bytes / 1e9,
+            ceiling / 1e9, block_cols,
         )
     t0 = _time.perf_counter()
+    if block_cols is not None:
+        Bs, W2 = _nystrom_factor_split_colblocked(
+            spec, cache, inducing_idxs, lam, rank_tol, block_cols,
+            use_E_cstr=use_E_cstr)
+        t1 = _time.perf_counter()
+        Bs, W2 = _pad_colblocks(Bs, W2)
+        if apply_impl != "xla":
+            raise ValueError(
+                f"apply_impl {apply_impl!r} unsupported with column blocks")
+        log.info("nystrom build (colblock x%d): %.1fs", len(Bs), t1 - t0)
+        return WoodburyColBlockPreconditioner(
+            Bs=Bs, W2=W2, lam=jnp.asarray(lam, W2.dtype))
     if use_E_cstr:
         K_nm = knl.assemble_columns_ecstr(spec, cache, inducing_idxs)
     else:
@@ -557,8 +655,10 @@ def _nystrom_factor_split(
     W1 = _put_factor(W1_h, host_decomp)
     W1.block_until_ready()
     t.mark("h2d_W1")
-    B_t = _whiten_nm(K_nm, W1, chunk)                      # (n, m), in place
-    inner_packed = _gram_nm_tril(B_t, tril, chunk)
+    # fused whiten+Gram: one pass, no full-factor relayout copy or hoisted
+    # X64Split (a standalone Gram compile-OOMed at n=500k — see the
+    # _whiten_gram_nm_tril docstring)
+    B_t, inner_packed = _whiten_gram_nm_tril(K_nm, W1, tril, chunk)
     inner_packed.block_until_ready()
     t.mark("whiten+gram")
     inner = _unpack_sym(np.asarray(inner_packed), m)       # d2h m(m+1)/2
@@ -570,6 +670,152 @@ def _nystrom_factor_split(
     t.mark("h2d_W2")
     t.report("nystrom factor stages")
     return B_t, W2
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
+def _whiten_colblock(
+    K_c: jnp.ndarray, K_prev: tuple, W1: jnp.ndarray,
+    off_c: int, offs_prev: tuple, chunk: int,
+) -> jnp.ndarray:
+    """B_c = sum_{j<=c} K_j W1[j-block, c-block], row-chunked, with K_c's
+    buffer donated (the j=c term reads each row window before the update
+    overwrites it — same in-place pattern as _whiten_nm).
+
+    Correctness relies on W1 being UPPER TRIANGULAR (chol whitening,
+    L^-T): block c of B then depends only on K blocks j <= c, so a
+    descending-c sweep can overwrite block c while blocks j < c still
+    hold original kernel columns."""
+    n, mc = K_c.shape
+    n_full = (n // chunk) * chunk
+    W_cc = W1[off_c:off_c + mc, off_c:off_c + mc]
+    W_jcs = [W1[oj:oj + Kj.shape[1], off_c:off_c + mc]
+             for Kj, oj in zip(K_prev, offs_prev)]
+
+    def transform(B, start, size):
+        blk = jax.lax.dynamic_slice(B, (start, 0), (size, mc)) @ W_cc
+        for Kj, W_jc in zip(K_prev, W_jcs):
+            blk = blk + jax.lax.dynamic_slice(
+                Kj, (start, 0), (size, Kj.shape[1])) @ W_jc
+        return blk
+
+    def body(i, B):
+        return jax.lax.dynamic_update_slice(
+            B, transform(B, i * chunk, chunk), (i * chunk, 0))
+
+    B = jax.lax.fori_loop(0, n // chunk, body, K_c)
+    if n_full != n:
+        start = n - chunk
+        tr = transform(B, start, chunk)
+        old = jax.lax.dynamic_slice(B, (start, 0), (chunk, mc))
+        fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
+        B = jax.lax.dynamic_update_slice(
+            B, jnp.where(fresh, tr, old), (start, 0))
+    return B
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gram_pair(Ba: jnp.ndarray, Bb: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Ba^T Bb (m_a, m_b) accumulated over row chunks (masked ragged tail)."""
+    n, ma = Ba.shape
+    mb = Bb.shape[1]
+    n_full = (n // chunk) * chunk
+
+    def body(i, acc):
+        Ab = jax.lax.dynamic_slice(Ba, (i * chunk, 0), (chunk, ma))
+        Bb_ = jax.lax.dynamic_slice(Bb, (i * chunk, 0), (chunk, mb))
+        return acc + Ab.T @ Bb_
+
+    acc = jax.lax.fori_loop(0, n // chunk, body,
+                            jnp.zeros((ma, mb), Ba.dtype))
+    if n_full != n:
+        start = n - chunk
+        Ab = jax.lax.dynamic_slice(Ba, (start, 0), (chunk, ma))
+        Bb_ = jax.lax.dynamic_slice(Bb, (start, 0), (chunk, mb))
+        fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
+        acc = acc + jnp.where(fresh, Ab, 0.0).T @ Bb_
+    return acc
+
+
+def _nystrom_factor_split_colblocked(
+    spec: DescriptorSpec,
+    cache: knl.KernelCache,
+    inducing_idxs: np.ndarray,
+    lam: float,
+    rank_tol: float,
+    block_cols: int,
+    use_E_cstr: bool = False,
+) -> tuple[tuple, jnp.ndarray]:
+    """Column-blocked variant of _nystrom_factor_split: K_nm is assembled,
+    whitened in place, and kept as column blocks of <= block_cols, never
+    materializing a single (n, m) buffer.  Exists for factors past the
+    axon runtime's ~8 GB per-buffer post-d2h ceiling (utils/hbm.py); the
+    math and the self-consistency discipline (the inner matrix is the
+    Gram of the ACTUAL device-held B blocks) are identical to the
+    monolithic path.  Only the 'chol' host whitening is supported: the
+    in-place block sweep needs W1 upper triangular."""
+    inducing_idxs = np.sort(np.asarray(inducing_idxs))
+    m = len(inducing_idxs)
+    n = cache.n + (cache.n_train if use_E_cstr else 0)
+    chunk = min(n, _GEMM_ROW_CHUNK)
+    offs = list(range(0, m, block_cols))
+    t = _StageTimer()
+    blocks = []
+    for off in offs:
+        cols_c = inducing_idxs[off:off + block_cols]
+        if use_E_cstr:
+            K_c = knl.assemble_columns_ecstr(spec, cache, cols_c)
+        else:
+            K_c = knl.assemble_columns(spec, cache, cols_c)
+        blocks.append(K_c)
+    jax.block_until_ready(blocks[-1])
+    t.mark("assemble")
+    idxs_dev = jnp.asarray(inducing_idxs)
+    K_mm = np.concatenate(
+        [np.asarray(_gather_rows(K_c, idxs_dev)) for K_c in blocks], axis=1)
+    t.mark("gather+d2h")
+    W1_h = _host_whiten_factor(K_mm, rank_tol, "chol")
+    t.mark("chol_W1")
+    W1 = _put_factor(W1_h, "chol")
+    W1.block_until_ready()
+    t.mark("h2d_W1")
+    for c in reversed(range(len(blocks))):
+        blocks[c] = _whiten_colblock(
+            blocks[c], tuple(blocks[:c]), W1,
+            offs[c], tuple(offs[:c]), chunk)
+    jax.block_until_ready(blocks)
+    t.mark("whiten")
+    inner = np.zeros((m, m))
+    for a in range(len(blocks)):
+        for b in range(a, len(blocks)):
+            G = np.asarray(_gram_pair(blocks[a], blocks[b], chunk))
+            inner[offs[a]:offs[a] + G.shape[0],
+                  offs[b]:offs[b] + G.shape[1]] = G
+            if b != a:
+                inner[offs[b]:offs[b] + G.shape[1],
+                      offs[a]:offs[a] + G.shape[0]] = G.T
+    t.mark("gram+d2h")
+    W2_h = _host_inner_isqrt(inner, lam, "chol")
+    t.mark("chol_W2")
+    W2 = _put_factor(W2_h, "chol")
+    W2.block_until_ready()
+    t.mark("h2d_W2")
+    t.report("nystrom colblock factor stages")
+    return tuple(blocks), W2
+
+
+def _pad_colblocks(Bs: tuple, W2: jnp.ndarray):
+    """Zero-column-pad the LAST block (and W2's rows/cols) to a multiple
+    of 128 — inert in the apply, buckets compile shapes."""
+    m = sum(B.shape[1] for B in Bs)
+    m_pad = -(-m // 128) * 128
+    if m_pad == m:
+        return Bs, W2
+    extra = m_pad - m
+    last = Bs[-1]
+    lp = jnp.zeros((last.shape[0], last.shape[1] + extra),
+                   last.dtype).at[:, :last.shape[1]].set(last)
+    Wp = jnp.zeros((m_pad, m_pad), W2.dtype).at[:m, :m].set(W2)
+    return (*Bs[:-1], lp), Wp
 
 
 class _StageTimer:
@@ -672,6 +918,47 @@ def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, chunk: int):
         B = jax.lax.dynamic_update_slice(
             B, jnp.where(fresh, tr, blk), (start, 0))
     return B
+
+
+@partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+def _whiten_gram_nm_tril(K_nm: jnp.ndarray, W1: jnp.ndarray,
+                         tril: jnp.ndarray, chunk: int):
+    """Fused in-place whiten + Gram: B = K_nm W1 (K_nm donated) AND
+    inner = B^T B, packed lower triangle — in ONE pass over the rows.
+
+    Why fused: a standalone Gram over the finished (n, m) factor makes
+    XLA (a) relayout-copy the ENTIRE factor for the transposed
+    contraction and (b) HOIST the f64-emulation X64Split of that copy
+    out of the chunk loop — at n=500k, k=1536 that planned
+    5.72 (copy) + 2 x 2.86 GB (hi/lo splits) on top of the 5.72 GB
+    input: a 17.19 GB executable, compile-time OOM (measured, see
+    RESULTS.md).  Accumulating each chunk's tr^T tr as the chunk is
+    produced keeps every transpose/split at (chunk, m).
+
+    Self-consistency (load-bearing, see _nystrom_factor_split): the Gram
+    addend and the stored factor rows are the SAME traced value `tr`, so
+    inner is exactly the Gram of the stored B."""
+    n, m = K_nm.shape
+    n_full = (n // chunk) * chunk
+
+    def body(i, carry):
+        B, acc = carry
+        blk = jax.lax.dynamic_slice(B, (i * chunk, 0), (chunk, m))
+        tr = blk @ W1
+        return (jax.lax.dynamic_update_slice(B, tr, (i * chunk, 0)),
+                acc + tr.T @ tr)
+
+    B, acc = jax.lax.fori_loop(
+        0, n // chunk, body, (K_nm, jnp.zeros((m, m), K_nm.dtype)))
+    if n_full != n:
+        start = n - chunk
+        blk = jax.lax.dynamic_slice(B, (start, 0), (chunk, m))
+        tr = blk @ W1
+        fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
+        acc = acc + jnp.where(fresh, tr, 0.0).T @ jnp.where(fresh, tr, 0.0)
+        B = jax.lax.dynamic_update_slice(
+            B, jnp.where(fresh, tr, blk), (start, 0))
+    return B, acc[tril[0], tril[1]]
 
 
 @partial(jax.jit, static_argnums=(1,))

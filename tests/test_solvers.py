@@ -322,3 +322,50 @@ def test_post_d2h_ceiling_model(monkeypatch):
     assert hbm.post_d2h_ceiling_bytes() == int(7.5e9)
     monkeypatch.delenv("MLFF_TPU_HBM_CEILING_GB")
     assert hbm.post_d2h_ceiling_bytes() is None  # tests run on CPU
+
+
+def test_colblock_matches_monolithic(setup):
+    """Column-blocked Nyström factor (utils/hbm.py per-buffer workaround):
+    the blocked apply matches the monolithic split apply to roundoff and
+    PCG takes the same iteration count."""
+    spec, cache = setup
+    n = cache.n
+    rng = np.random.default_rng(7)
+    idxs = np.sort(rng.choice(n, size=37, replace=False))
+
+    P_mono = pc.nystrom_preconditioner(spec, cache, idxs, LAM,
+                                       method="chol_host")
+    P_blk = pc.nystrom_preconditioner(spec, cache, idxs, LAM,
+                                      method="chol_host", block_cols=16)
+    assert isinstance(P_blk, pc.WoodburyColBlockPreconditioner)
+    assert len(P_blk.Bs) == 3 and P_blk.Bs[0].shape[1] == 16
+
+    v = jnp.asarray(rng.standard_normal(n))
+    a, b = np.asarray(P_mono(v)), np.asarray(P_blk(v))
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9 * np.abs(a).max())
+
+    y = jnp.asarray(rng.standard_normal(n))
+    r1 = pcg((knl.matvec_psd, cache), y, precon=P_mono, tol=1e-4,
+             maxiter=20 * n)
+    r2 = pcg((knl.matvec_psd, cache), y, precon=P_blk, tol=1e-4,
+             maxiter=20 * n)
+    assert r1.converged and r2.converged
+    assert abs(r1.num_iters - r2.num_iters) <= max(2, int(0.05 * r1.num_iters))
+    np.testing.assert_allclose(r2.x, r1.x, rtol=1e-3, atol=1e-6)
+
+
+def test_colblock_ecstr(setup):
+    """Blocked factorization under energy constraints: apply parity with
+    the monolithic ecstr path."""
+    spec, cache = setup
+    n = cache.n + cache.n_train
+    rng = np.random.default_rng(8)
+    idxs = np.sort(rng.choice(cache.n, size=24, replace=False))
+    P_mono = pc.nystrom_preconditioner(spec, cache, idxs, LAM,
+                                       use_E_cstr=True, method="chol_host")
+    P_blk = pc.nystrom_preconditioner(spec, cache, idxs, LAM,
+                                      use_E_cstr=True, method="chol_host",
+                                      block_cols=10)
+    v = jnp.asarray(rng.standard_normal(n))
+    a, b = np.asarray(P_mono(v)), np.asarray(P_blk(v))
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9 * np.abs(a).max())
