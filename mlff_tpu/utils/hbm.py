@@ -44,9 +44,16 @@ def post_d2h_ceiling_bytes() -> int | None:
     if env:
         return int(float(env) * 1e9)
     try:
-        backend = jax.default_backend()
+        from jax.extend.backend import get_backend
+
+        backend = get_backend()
+        # the tunnel runtime identifies as platform 'tpu' (sometimes 'axon'
+        # depending on the jax version); the platform_version string names
+        # the axon runtime in both cases
+        is_axon = (backend.platform == "axon"
+                   or "axon" in backend.platform_version)
     except Exception:  # pragma: no cover - uninitialized backend
         return None
-    if backend != "axon":
+    if not is_axon:
         return None
     return int(8.0e9)
