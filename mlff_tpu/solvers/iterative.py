@@ -261,6 +261,10 @@ def solve_iterative(
         log.info("matvec: square all-pairs layout (A=%d)", spec.n_atoms)
     y_dev = jnp.asarray(y)
     maxiter = 3 * spec.n_atoms * n_train * 5 if not flag_eigvals else 10
+    if task.get("solver_maxiter"):
+        # explicit cap (probing / budgeted runs); reference semantics keep
+        # the unconverged iterate (train.py:892-908)
+        maxiter = int(task["solver_maxiter"])
 
     def ckpt(x_np, iters, resid):
         if save_progr_callback is not None:

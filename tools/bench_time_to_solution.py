@@ -70,6 +70,8 @@ def main():
     p.add_argument("--preconditioner", default="lev_random")
     p.add_argument("--k", type=int, default=None,
                    help="preconditioner rank (default: rule of thumb)")
+    p.add_argument("--maxiter", type=int, default=None,
+                   help="cap CG iterations (probe mode; reports s/iter)")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
@@ -82,6 +84,8 @@ def main():
         task["nystrom_method"] = args.nystrom_method
     if args.apply_impl:
         task["apply_impl"] = args.apply_impl
+    if args.maxiter:
+        task["solver_maxiter"] = args.maxiter
     n = int(np.asarray(task["F_train"]).size)
     m, k_unity, _ = get_params(args.molecule)
     k_rot = rule_of_thumb(n, k_unity, m)
@@ -114,6 +118,7 @@ def main():
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(total, 2),
+        "s_per_iter": round(t_cg / max(1, int(model["solver_iters"])), 4),
         "vs_baseline": round(ref_s / solver_s, 2) if ref_s else None,
     }
     print(json.dumps(out))
