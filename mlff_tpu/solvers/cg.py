@@ -95,12 +95,15 @@ def _pcg_chunk(matvec, precon, chunk: int):
     convergence)."""
 
     @jax.jit
-    def run(mv_state, pc_state, state: CGState, threshold: jnp.ndarray):
+    def run(mv_state, pc_state, state: CGState, threshold: jnp.ndarray,
+            max_steps: jnp.ndarray):
+        # max_steps (dynamic, <= chunk) lets the host driver honor an exact
+        # maxiter cap without a separate executable per remainder size.
         it0 = state.it
 
         def cond(carry):
             state, resid_log = carry
-            return (~state.done) & (state.it - it0 < chunk)
+            return (~state.done) & (state.it - it0 < max_steps)
 
         def body(carry):
             state, resid_log = carry
@@ -143,8 +146,8 @@ class PCGSolver:
 
     def solve(self, b, **kwargs) -> CGResult:
         return _pcg_drive(
-            lambda state, threshold: self._run(
-                self.mv_state, self.pc_state, state, threshold
+            lambda state, threshold, max_steps: self._run(
+                self.mv_state, self.pc_state, state, threshold, max_steps
             ),
             lambda v: self.mv_fn(self.mv_state, v),
             b, chunk=self.chunk, **kwargs,
@@ -233,7 +236,12 @@ def _pcg_drive(
 
     while True:
         it_before = int(state.it)
-        state, resid_log = run(state, threshold)
+        remaining = maxiter - (it_before - it0)
+        if remaining <= 0:
+            break
+        state, resid_log = run(
+            state, threshold, jnp.asarray(min(chunk, remaining), jnp.int64)
+        )
         it_after = int(state.it)
         done = bool(state.done)
 

@@ -263,8 +263,10 @@ def solve_iterative(
     maxiter = 3 * spec.n_atoms * n_train * 5 if not flag_eigvals else 10
     if task.get("solver_maxiter"):
         # explicit cap (probing / budgeted runs); reference semantics keep
-        # the unconverged iterate (train.py:892-908)
-        maxiter = int(task["solver_maxiter"])
+        # the unconverged iterate (train.py:892-908).  flag_eigvals keeps
+        # its 10-iteration diagnostic cap (iterative_solver.py:1002).
+        maxiter = min(maxiter, int(task["solver_maxiter"])) if flag_eigvals \
+            else int(task["solver_maxiter"])
 
     def ckpt(x_np, iters, resid):
         if save_progr_callback is not None:
@@ -276,15 +278,18 @@ def solve_iterative(
     num_restarts = 0
     idxs_ordered_by_lev_score = None
     x0 = jnp.asarray(alphas0) if alphas0 is not None else None
+    it0_initial = num_iters0  # maxiter budgets TOTAL new iterations across restarts
     while True:
         result = pcg(
             matvec, y_dev, precon=P_apply, x0=x0,
             tol=float(task.get("solver_tol", 1e-4)),
-            maxiter=maxiter,
+            maxiter=max(0, maxiter - (num_iters0 - it0_initial)),
             callback=callback, checkpoint_callback=ckpt,
             it0=num_iters0,
             break_on_stagnation=allow_restarts,
         )
+        if result.num_iters - it0_initial >= maxiter:
+            break
         if not result.stagnated or not allow_restarts or n_inducing_pts >= n_train:
             break
 
@@ -301,7 +306,13 @@ def solve_iterative(
             )
         dim_m = n_inducing_pts * dim_i
         inducing = np.sort(idxs_ordered_by_lev_score[-dim_m:])
-        P_apply = pc.nystrom_preconditioner(spec, cache, inducing, lam)
+        # rebuild with the SAME configuration as the initial build — a
+        # restart must not silently change preconditioner semantics
+        P_apply = pc.nystrom_preconditioner(
+            spec, cache, inducing, lam, use_E_cstr=use_E_cstr,
+            method=str(task.get("nystrom_method", "chol_host")),
+            apply_impl=str(task.get("apply_impl", "xla")),
+        )
         x0 = jnp.asarray(result.x)
         num_iters0 = result.num_iters
         log.info("CG restart %d: inducing points -> %d", num_restarts, n_inducing_pts)

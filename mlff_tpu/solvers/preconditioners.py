@@ -1137,6 +1137,24 @@ def select_by_leverage(
     raise ValueError(strategy)
 
 
+def _guard_dense_diagnostic(name: str, n: int) -> None:
+    """The eigvec/rank-k-lev families materialize dense K and run a host
+    SVD — O(n^2) memory, O(n^3) flops.  They are small-n diagnostics
+    (reference iterative_solver.py:1110-1175, 1177-1348); invoking them at
+    the production operating points (n >= 30k) would OOM the host.  The cap
+    is overridable for big-memory hosts via MLFF_TPU_DENSE_DIAG_MAX_N."""
+    import os
+
+    max_n = int(os.environ.get("MLFF_TPU_DENSE_DIAG_MAX_N", 20_000))
+    if n > max_n:
+        raise ValueError(
+            f"{name} materializes the dense {n}x{n} kernel "
+            f"({n * n * 8 / 1e9:.1f} GB) and host-SVDs it; it is a small-n "
+            f"diagnostic capped at n <= {max_n}. Use a Nystrom/Cholesky "
+            f"strategy at this size, or raise MLFF_TPU_DENSE_DIAG_MAX_N."
+        )
+
+
 def rank_k_leverage_scores(
     spec: DescriptorSpec,
     cache: knl.KernelCache,
@@ -1145,6 +1163,7 @@ def rank_k_leverage_scores(
     """Rank-k subspace leverage scores from a full SVD of K
     (reference `_rank_k_leverage_scores`, iterative_solver.py:1110-1175;
     Def. 1 of arXiv:2201.07017).  Small-n diagnostic: materializes K."""
+    _guard_dense_diagnostic("rank_k_lev_scores", cache.n)
     K = np.asarray(knl.assemble_full(spec, cache))
     U, s, _ = scipy.linalg.svd(K)
     U_k = U[:, :k]
@@ -1193,6 +1212,7 @@ def eigvec_preconditioner(
     if svd_cache is not None and key in svd_cache:
         U, s = svd_cache[key]
     else:
+        _guard_dense_diagnostic(variant, cache.n + (cache.n_train if use_E_cstr else 0))
         if use_E_cstr:
             K = np.asarray(knl.assemble_full_ecstr(spec, cache))
         else:

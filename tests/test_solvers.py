@@ -369,3 +369,83 @@ def test_colblock_ecstr(setup):
     v = jnp.asarray(rng.standard_normal(n))
     a, b = np.asarray(P_mono(v)), np.asarray(P_blk(v))
     np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9 * np.abs(a).max())
+
+
+def test_pcg_exact_maxiter_cap():
+    """maxiter is honored exactly, not at chunk granularity: a cap smaller
+    than the device-loop chunk stops at precisely that many iterations."""
+    rng = np.random.default_rng(3)
+    n = 96
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = (Q * np.geomspace(1.0, 1e6, n)) @ Q.T
+    b = rng.normal(size=n)
+    A_dev = jnp.asarray(A)
+    res = pcg(lambda v: A_dev @ v, jnp.asarray(b), tol=1e-12,
+              maxiter=7, chunk=25)
+    assert res.num_iters == 7
+    assert not res.converged
+    # and warm-started budgets count from it0
+    res2 = pcg(lambda v: A_dev @ v, jnp.asarray(b), x0=jnp.asarray(res.x),
+               tol=1e-12, maxiter=4, chunk=25, it0=res.num_iters)
+    assert res2.num_iters == 11
+
+
+def test_restart_rebuild_preserves_config(setup, monkeypatch):
+    """A stagnation restart must rebuild the Nystrom preconditioner with the
+    SAME method/apply_impl/use_E_cstr as the initial build (reference
+    iterative_inpoints.py:1011-1066 reuses its configured operator)."""
+    from mlff_tpu.solvers import iterative as it_mod
+    from mlff_tpu.solvers.cg import CGResult
+
+    spec, cache = setup
+    n = cache.n
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(n)
+
+    calls = []
+    real_nystrom = pc.nystrom_preconditioner
+
+    def recording_nystrom(spec_, cache_, idxs, lam, **kw):
+        calls.append(dict(kw))
+        return real_nystrom(spec_, cache_, idxs, lam, **kw)
+
+    monkeypatch.setattr(it_mod.pc, "nystrom_preconditioner", recording_nystrom)
+
+    n_pcg = [0]
+    def fake_pcg(matvec, b, precon=None, x0=None, **kw):
+        n_pcg[0] += 1
+        stag = n_pcg[0] == 1
+        return CGResult(
+            x=np.zeros(n), converged=not stag, num_iters=kw.get("it0", 0) + 5,
+            resid=0.0, resid_hist=np.zeros(5), eff=10 if stag else 100,
+            time_s=0.0, stagnated=stag,
+        )
+
+    monkeypatch.setattr(it_mod, "pcg", fake_pcg)
+
+    task = {
+        "use_E_cstr": False, "nystrom_method": "chol_host",
+        "apply_impl": "xla", "solver_tol": 1e-4,
+    }
+    it_mod.solve_iterative(
+        spec, cache, task, y, 1.0, break_percentage=0.2,
+        str_preconditioner="random_scores", allow_restarts=True,
+    )
+    assert n_pcg[0] == 2, "expected exactly one restart"
+    assert len(calls) >= 2
+    first, rebuild = calls[0], calls[-1]
+    for key in ("method", "apply_impl", "use_E_cstr"):
+        assert rebuild.get(key) == first.get(key), key
+
+
+def test_dense_diagnostic_guard():
+    """rank_k_lev_scores / eigvec strategies refuse to materialize dense K
+    above the documented size cap instead of OOMing the host."""
+    import types
+
+    spec = dsc.make_spec(4)
+    fake_cache = types.SimpleNamespace(n=30_000, n_train=2_500)
+    with pytest.raises(ValueError, match="small-n diagnostic"):
+        pc.rank_k_leverage_scores(spec, fake_cache, 10)
+    with pytest.raises(ValueError, match="small-n diagnostic"):
+        pc.eigvec_preconditioner(spec, fake_cache, 10, 1e-10)

@@ -118,7 +118,11 @@ def main():
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(total, 2),
-        "s_per_iter": round(t_cg / max(1, int(model["solver_iters"])), 4),
+        # this run's iterations only: solver_iters is a global counter that
+        # includes warm-start iterations on resumed tasks
+        "s_per_iter": round(t_cg / max(
+            1, int(model["solver_iters"]) - int(task.get("solver_iters", 0) or 0)
+        ), 4),
         "vs_baseline": round(ref_s / solver_s, 2) if ref_s else None,
     }
     print(json.dumps(out))
