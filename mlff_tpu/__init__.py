@@ -48,8 +48,13 @@ if _cache_dir.lower() != "off":
     jax.config.update("jax_include_full_tracebacks_in_locations", False)
     # bound the cache's disk growth (LRU eviction, at most once per day)
     from .utils.cache import maybe_prune_compile_cache as _prune
+    from .utils.cache import seed_compile_cache as _seed
 
     _prune(_cache_dir)
+    # seed from the repo-shipped executable cache (cold-start product path;
+    # see utils/cache.py:seed_compile_cache) — after pruning, so freshly
+    # seeded entries are never the eviction victims of the same import
+    _seed(_cache_dir)
 
 __version__ = "0.1.0"
 

@@ -118,8 +118,13 @@ class Trainer:
         save_progr_callback=None,
         allow_restarts: bool = False,
         svd_cache: dict | None = None,
+        mesh=None,
     ) -> dict:
-        """Train a model for the task (reference train.py:707-970)."""
+        """Train a model for the task (reference train.py:707-970).
+
+        ``mesh``: optional jax.sharding.Mesh for the 'cg' solver — the
+        kernel operator, preconditioner factors and CG state run
+        row-sharded over it (see solvers.iterative.solve_iterative)."""
         task = dict(task)
         solver = str(task["solver_name"])
         assert solver in ("analytic", "cg", "cg_cholesky"), solver
@@ -184,6 +189,7 @@ class Trainer:
                 ),
                 allow_restarts=allow_restarts,
                 svd_cache=svd_cache,
+                mesh=mesh,
             )
             alphas_psd = res.alphas
             num_iters, resid = res.num_iters, res.resid

@@ -43,9 +43,22 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (ROWS,))
 
 
-def cache_shardings(mesh: Mesh) -> KernelCache:
-    """PartitionSpec pytree matching KernelCache (row-sharded operator)."""
+def cache_shardings(mesh: Mesh, cache: KernelCache | None = None) -> KernelCache:
+    """PartitionSpec pytree matching KernelCache (row-sharded operator).
+
+    When ``cache`` is given, shardings are produced for exactly its present
+    optional square-layout fields so the two pytrees match structurally."""
     s = lambda *spec: NamedSharding(mesh, P(*spec))
+    opt = {}
+    if cache is not None:
+        # square all-pairs fields: row-sharded over training points
+        for name, spec in (("Xsq", (ROWS, None, None)),
+                           ("Gsq", (ROWS, None, None, None)),
+                           ("Usq", (ROWS, None, None, None)),
+                           ("Zsq", (ROWS, None, None, None)),
+                           ("C1sq", (ROWS, None, None, None, None))):
+            if getattr(cache, name) is not None:
+                opt[name] = s(*spec)
     return KernelCache(
         X=s(ROWS, None),
         Jc=s(ROWS, None, None),
@@ -57,12 +70,13 @@ def cache_shardings(mesh: Mesh) -> KernelCache:
         A_exp1=s(ROWS, None),
         sig=s(),
         lam=s(),
+        **opt,
     )
 
 
 def shard_cache(cache: KernelCache, mesh: Mesh) -> KernelCache:
     """Place a built cache onto the mesh with the row-sharded layout."""
-    shardings = cache_shardings(mesh)
+    shardings = cache_shardings(mesh, cache)
     return jax.tree.map(jax.device_put, cache, shardings)
 
 
@@ -74,3 +88,40 @@ def vector_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_vector(v: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     return jax.device_put(v, vector_sharding(mesh))
+
+
+def shard_preconditioner(precon, mesh: Mesh):
+    """Place a Woodbury-family preconditioner onto the mesh.
+
+    Layout (SURVEY.md §7.2.5 / VERDICT round 1 item 2): the big (n, m)
+    factor is row-sharded like the kernel operator's caches; the small
+    (m, m) inner factor and lam are replicated.  The fused single-factor
+    form stores T as (k, n) so its *columns* follow the row axis.
+
+    Pallas-kernel applies (DF64) don't shard — the caller keeps them
+    single-device (they exist for the one-chip speed path).
+    Unknown/callable preconditioners are returned unchanged.
+    """
+    # local import: solvers must stay importable without the parallel layer
+    from ..solvers import preconditioners as pc
+
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    rep = s()
+    if isinstance(precon, pc.WoodburySplitPreconditioner):
+        return pc.WoodburySplitPreconditioner(
+            B=jax.device_put(precon.B, s(ROWS, None)),
+            W2=jax.device_put(precon.W2, rep),
+            lam=jax.device_put(precon.lam, rep),
+        )
+    if isinstance(precon, pc.WoodburyPreconditioner):
+        return pc.WoodburyPreconditioner(
+            T=jax.device_put(precon.T, s(None, ROWS)),
+            lam=jax.device_put(precon.lam, rep),
+        )
+    if isinstance(precon, pc.WoodburyColBlockPreconditioner):
+        return pc.WoodburyColBlockPreconditioner(
+            Bs=tuple(jax.device_put(B, s(ROWS, None)) for B in precon.Bs),
+            W2=jax.device_put(precon.W2, rep),
+            lam=jax.device_put(precon.lam, rep),
+        )
+    return precon

@@ -197,10 +197,25 @@ def solve_iterative(
     seed: int = 0,
     allow_restarts: bool = False,
     svd_cache: dict | None = None,
+    mesh=None,
 ) -> IterativeResult:
-    """Train alphas by PCG (reference Iterative.solve, iterative_solver.py:620-1108)."""
+    """Train alphas by PCG (reference Iterative.solve, iterative_solver.py:620-1108).
+
+    ``mesh``: optional jax.sharding.Mesh.  The kernel cache is row-sharded
+    over the mesh BEFORE the preconditioner build (so column assembly and
+    the Nystrom whiten/Gram GEMMs run sharded), the Woodbury factors are
+    placed row-sharded/replicated, and the CG state vectors ride sharded
+    through the same PCGSolver path as single-device solves (the TPU
+    mapping of the reference's row-partitioned matvec workers,
+    predict.py:451-500, and DataParallel split, predict.py:336-341).
+    """
     t_start = time.perf_counter()
     rng = np.random.default_rng(seed)
+
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        cache = pmesh.shard_cache(cache, mesh)
 
     use_E_cstr = bool(task.get("use_E_cstr", False))
     n = cache.n + (cache.n_train if use_E_cstr else 0)
@@ -245,6 +260,14 @@ def solve_iterative(
     mv_fn = knl.matvec_psd_ecstr if use_E_cstr else knl.matvec_psd
     matvec = (mv_fn, cache)
     impl = str(task.get("matvec_impl", "auto"))
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        P_apply = pmesh.shard_preconditioner(P_apply, mesh)
+        if impl == "square" or (impl == "auto" and _square_matvec_wins(spec, cache)):
+            log.info("matvec: square layout has no sharding story yet; "
+                     "keeping the packed matvec on the mesh")
+        impl = "packed"
     if not use_E_cstr and (
         impl == "square"
         or (impl == "auto" and _square_matvec_wins(spec, cache))
@@ -260,6 +283,12 @@ def solve_iterative(
         matvec = (knl.matvec_psd_square, sq)
         log.info("matvec: square all-pairs layout (A=%d)", spec.n_atoms)
     y_dev = jnp.asarray(y)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        y_dev = pmesh.shard_vector(y_dev, mesh)
+        if alphas0 is not None:
+            alphas0 = pmesh.shard_vector(jnp.asarray(alphas0), mesh)
     maxiter = 3 * spec.n_atoms * n_train * 5 if not flag_eigvals else 10
     if task.get("solver_maxiter"):
         # explicit cap (probing / budgeted runs); reference semantics keep
@@ -313,6 +342,10 @@ def solve_iterative(
             method=str(task.get("nystrom_method", "chol_host")),
             apply_impl=str(task.get("apply_impl", "xla")),
         )
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            P_apply = pmesh.shard_preconditioner(P_apply, mesh)
         x0 = jnp.asarray(result.x)
         num_iters0 = result.num_iters
         log.info("CG restart %d: inducing points -> %d", num_restarts, n_inducing_pts)

@@ -214,3 +214,29 @@ def test_compile_cache_prune(tmp_path):
     assert remaining == [f"entry{i}" for i in range(6, 10)]
     # under cap: no-op
     assert prune_compile_cache(str(d), max_bytes=5500) == 0
+
+
+def test_seed_compile_cache(tmp_path, monkeypatch):
+    """Repo-shipped cache entries are linked/copied into the active cache;
+    seeding is idempotent and can be disabled."""
+    from mlff_tpu.utils.cache import seed_compile_cache
+
+    seed = tmp_path / "seed"
+    active = tmp_path / "active"
+    seed.mkdir()
+    (seed / "jit_foo-abc-cache").write_bytes(b"x" * 64)
+    (seed / "jit_bar-def-cache").write_bytes(b"y" * 64)
+    (seed / ".last_prune").write_bytes(b"")  # marker must not be copied
+
+    assert seed_compile_cache(str(active), str(seed)) == 2
+    assert sorted(p.name for p in active.iterdir()) == [
+        "jit_bar-def-cache", "jit_foo-abc-cache"]
+    # idempotent: nothing new on re-seed
+    assert seed_compile_cache(str(active), str(seed)) == 0
+    # existing entries are never overwritten
+    (active / "jit_foo-abc-cache").write_bytes(b"local")
+    seed_compile_cache(str(active), str(seed))
+    assert (active / "jit_foo-abc-cache").read_bytes() == b"local"
+    # env kill switch
+    monkeypatch.setenv("MLFF_TPU_SEED_CACHE", "off")
+    assert seed_compile_cache(str(active)) == 0

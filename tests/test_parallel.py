@@ -68,3 +68,56 @@ def test_entry_compiles():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_trainer_train_on_mesh_matches_single_device():
+    """Full production path on the 8-device mesh: Trainer.train(mesh=...)
+    row-shards the kernel cache, the Nystrom/Woodbury factors and the CG
+    state, and reproduces the single-device model element-for-element."""
+    from mlff_tpu.data.synthetic import make_dataset
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+
+    n_train = 24
+    ds = make_dataset("ethanol", n_samples=n_train + 12, seed=3)
+    task = create_task(ds, n_train, ds, n_valid=8, sig=5.0,
+                       solver="cg", use_sym=False)
+    task["solver_tol"] = 1e-10
+
+    mesh = pmesh.make_mesh()
+    m_mesh = Trainer().train(task, break_percentage=0.05,
+                             str_preconditioner="lev_random", mesh=mesh)
+    m_single = Trainer().train(task, break_percentage=0.05,
+                               str_preconditioner="lev_random")
+
+    assert m_mesh["solver_iters"] >= 10
+    assert abs(int(m_mesh["solver_iters"]) - int(m_single["solver_iters"])) <= 1
+    a_m, a_s = np.asarray(m_mesh["alphas_F"]), np.asarray(m_single["alphas_F"])
+    np.testing.assert_allclose(a_m, a_s, rtol=1e-6,
+                               atol=1e-6 * np.abs(a_s).max())
+
+
+def test_shard_preconditioner_layouts(problem):
+    """Woodbury factors land row-sharded (big factor) / replicated (inner)."""
+    import jax.numpy as jnp
+
+    from mlff_tpu.solvers import preconditioners as pc
+
+    spec, cache = problem
+    n = cache.n
+    rng = np.random.default_rng(2)
+    L = jnp.asarray(rng.normal(size=(n, 8)))
+    mesh = pmesh.make_mesh()
+
+    P_split = pc.woodbury_from_factor(L, 1e-10)
+    v = jnp.asarray(rng.normal(size=n))
+    expected = np.asarray(P_split(v))
+
+    P_sh = pmesh.shard_preconditioner(P_split, mesh)
+    if hasattr(P_sh, "B"):
+        assert len(P_sh.B.addressable_shards) == 8
+        assert P_sh.B.addressable_shards[0].data.shape[0] == P_sh.B.shape[0] // 8
+    v_sh = pmesh.shard_vector(v, mesh)
+    out = np.asarray(P_sh(v_sh))
+    np.testing.assert_allclose(out, expected, rtol=1e-10,
+                               atol=1e-12 * np.abs(expected).max())
