@@ -40,7 +40,37 @@ _cache_dir = os.environ.get(
     "MLFF_TPU_COMPILE_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "mlff_tpu_jax"),
 )
+def _stabilize_cache_key() -> None:
+    """Drop the volatile build stamp from the compile-cache key.
+
+    The axon TPU tunnel's ``platform_version`` ends with a per-server-build
+    line ``Built on <date> (<epoch>) cl/<number>``; reconnecting to a
+    different server replica changes it and silently invalidates the entire
+    persistent compile cache (observed: a tunnel restart between two bench
+    runs re-keyed all 54 bench-path executables).  Executable compatibility
+    is governed by the ``SerializedExecutable vN; compile-cache vN; compat
+    cN`` fields, which stay in the key; only the build stamp is stripped.
+    """
+    import re
+
+    try:
+        from jax._src import cache_key as _ck
+    except ImportError:  # pragma: no cover - internal layout change
+        return
+
+    _orig = _ck._hash_platform
+
+    def _hash_platform_stable(hash_obj, backend):
+        version = re.sub(r"Built on .*", "", backend.platform_version).strip()
+        _ck._hash_string(hash_obj, backend.platform)
+        _ck._hash_string(hash_obj, version)
+
+    _hash_platform_stable._mlff_orig = _orig  # for tests/unpatching
+    _ck._hash_platform = _hash_platform_stable
+
+
 if _cache_dir.lower() != "off":
+    _stabilize_cache_key()
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)  # the remote-compile tunnel makes even tiny eager ops cost ~0.5 s each
     # keep source locations/tracebacks out of the lowered IR: they shift on

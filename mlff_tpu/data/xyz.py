@@ -383,15 +383,9 @@ def dataset_subsets_from_model(model: dict, dataset: dict) -> dict:
     return out
 
 
-def download(command: str, file_name: str):
-    """Benchmark dataset downloader (reference sgdml/get.py:45-69).
+def download(command: str, file_name: str, **kw):
+    """Benchmark dataset downloader — see ``mlff_tpu.data.get.download``
+    (reference sgdml/get.py:45-69).  Kept here for backward compatibility."""
+    from .get import download as _download
 
-    This environment has no network egress; the function exists for API
-    completeness and raises with the synthetic-data alternative."""
-    base_url = "http://www.quantum-machine.org/gdml/" + (
-        "data/npz/" if command == "dataset" else "models/"
-    )
-    raise RuntimeError(
-        f"no network egress available to fetch {base_url}{file_name}; use "
-        "mlff_tpu.data.synthetic.make_dataset for a drop-in synthetic dataset"
-    )
+    return _download(command, file_name, **kw)

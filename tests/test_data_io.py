@@ -1,5 +1,6 @@
 """Dataset IO: npz round-trip + fingerprints, xyz/extxyz converters,
-synthetic dataset physics (F = -grad E), downloader stub."""
+synthetic dataset physics (F = -grad E), checksum-verified downloader,
+AIMS converter, compile-cache seeding + key stability."""
 
 import numpy as np
 import pytest
@@ -77,9 +78,75 @@ def test_synthetic_forces_are_gradients():
         np.testing.assert_allclose(F0[0, idx[0], idx[1]], fd, rtol=1e-5)
 
 
-def test_downloader_raises_helpfully():
-    with pytest.raises(RuntimeError, match="synthetic"):
-        xyz.download("dataset", "ethanol_dft.npz")
+def _mirror_with(tmp_path, name, dataset):
+    """Build a file:// mirror in the reference's URL layout."""
+    from mlff_tpu.utils.io import save_dataset
+
+    root = tmp_path / "mirror"
+    (root / "data" / "npz").mkdir(parents=True)
+    save_dataset(root / "data" / "npz" / name, dataset)
+    return root.as_uri()
+
+
+def test_downloader_fetches_and_verifies(tmp_path):
+    """download() streams from any urllib scheme (here file://), verifies
+    the embedded dataset fingerprint, and places the npz in dest_dir."""
+    from mlff_tpu.data import get
+    from mlff_tpu.data.synthetic import make_dataset
+
+    ds = make_dataset("ethanol", n_samples=5, seed=0)
+    base = _mirror_with(tmp_path, "ethanol_syn.npz", ds)
+
+    seen = []
+    out = get.download(
+        "dataset", "ethanol_syn.npz", base_url=base,
+        dest_dir=tmp_path / "dl", progress=lambda d, t: seen.append((d, t)),
+    )
+    assert out.exists() and out.name == "ethanol_syn.npz"
+    assert seen and seen[-1][0] > 0
+    loaded = dict(np.load(out, allow_pickle=True))
+    np.testing.assert_allclose(loaded["R"], np.asarray(ds["R"]))
+
+    # registry checksum path: correct entry passes, wrong entry raises
+    md5 = get._file_md5(out)
+    get.CHECKSUMS["ethanol_syn.npz"] = md5
+    try:
+        get.download("dataset", "ethanol_syn.npz", base_url=base,
+                     dest_dir=tmp_path / "dl2")
+        get.CHECKSUMS["ethanol_syn.npz"] = "0" * 32
+        with pytest.raises(IOError, match="registry"):
+            get.download("dataset", "ethanol_syn.npz", base_url=base,
+                         dest_dir=tmp_path / "dl3")
+        assert (tmp_path / "dl3" / "ethanol_syn.npz.corrupt").exists()
+    finally:
+        get.CHECKSUMS.pop("ethanol_syn.npz", None)
+
+
+def test_downloader_rejects_tampered_dataset(tmp_path):
+    """A dataset whose z/R/E/F do not match its embedded md5 is rejected."""
+    from mlff_tpu.data import get
+    from mlff_tpu.data.synthetic import make_dataset
+
+    ds = make_dataset("ethanol", n_samples=5, seed=0)
+    base = _mirror_with(tmp_path, "bad.npz", ds)
+    # corrupt the payload after the fingerprint was embedded (save_dataset
+    # recomputes md5, so tamper at the file level like real corruption)
+    path = tmp_path / "mirror" / "data" / "npz" / "bad.npz"
+    raw = dict(np.load(path, allow_pickle=True))
+    raw["R"] = raw["R"] + 1.0
+    np.savez_compressed(path, **raw)
+    with pytest.raises(IOError, match="fingerprint"):
+        get.download("dataset", "bad.npz", base_url=base, dest_dir=tmp_path)
+
+
+def test_downloader_compat_shim(tmp_path):
+    """xyz.download forwards to data.get (old call sites keep working)."""
+    from mlff_tpu.data.synthetic import make_dataset
+
+    ds = make_dataset("ethanol", n_samples=5, seed=0)
+    base = _mirror_with(tmp_path, "e.npz", ds)
+    out = xyz.download("dataset", "e.npz", base_url=base, dest_dir=tmp_path / "o")
+    assert out.exists()
 
 
 def test_ase_calc_gated():
@@ -240,3 +307,32 @@ def test_seed_compile_cache(tmp_path, monkeypatch):
     # env kill switch
     monkeypatch.setenv("MLFF_TPU_SEED_CACHE", "off")
     assert seed_compile_cache(str(active)) == 0
+
+
+def test_cache_key_build_stamp_sanitizer():
+    """The compile-cache key ignores the tunnel server's per-build stamp
+    (a replica swap must not invalidate the shipped executable cache) while
+    still keying on the executable-compatibility fields."""
+    import hashlib
+    from types import SimpleNamespace
+
+    from jax._src import cache_key as ck
+
+    import mlff_tpu  # noqa: F401  (applies the patch at import)
+
+    assert hasattr(ck._hash_platform, "_mlff_orig"), "sanitizer not installed"
+
+    def key_for(version):
+        h = hashlib.sha256()
+        ck._hash_platform(h, SimpleNamespace(platform="tpu",
+                                             platform_version=version))
+        return h.hexdigest()
+
+    base = ("PJRT C API\naxon 0.1.0; SerializedExecutable v9; "
+            "compile-cache v14; compat c49\nTFRT TPU v5 lite\n")
+    a = key_for(base + "Built on Nov 12 2025 14:16:36 (1762985796) cl/831091709")
+    b = key_for(base + "Built on Dec 01 2025 09:00:00 (1764000000) cl/999999999")
+    assert a == b, "build stamp must not enter the cache key"
+    c = key_for(base.replace("compat c49", "compat c50")
+                + "Built on Nov 12 2025 14:16:36 (1762985796) cl/831091709")
+    assert c != a, "compat version must still key the cache"
