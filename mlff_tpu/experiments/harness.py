@@ -189,3 +189,44 @@ def spectra(task: dict, str_preconditioner: str, break_percentage: float) -> dic
         task, str_preconditioner, break_percentage,
         flag_eigvals=True, raise_on_nonconv=False,
     )
+
+
+def merge_sweeps(sweeps: list[dict]) -> dict:
+    """Merge per-strategy sweep dicts (minimum_preconditioner_size outputs)
+    into one archive-schema dict carrying every strategy's
+    ``<label>_percentage`` / ``<label>_cgsteps`` arrays — the layout the
+    reference's multi-strategy pickles use
+    (data/data/cg_performance_n=15750/*) and the comparison plots consume."""
+    merged: dict = {}
+    for sweep in sweeps:
+        for key, val in sweep.items():
+            if key not in merged:
+                merged[key] = val
+    return merged
+
+
+def spectra_sweep(
+    task: dict,
+    strategies: tuple[str, ...],
+    percentages: tuple[float, ...],
+) -> dict:
+    """Preconditioned spectra over a (strategy x percentage) grid, in the
+    reference pickle layout: ``eigvals_<label>_<p:.2f>`` with p in PERCENT
+    (plot_data.py:206-370 parses percentages out of these key names) plus
+    ``eigvals_<label>_0`` for the raw kernel spectrum."""
+    merged: dict = {}
+    svd_cache: dict = {}
+    for label in strategies:
+        percentage_arr = []
+        for p in percentages:
+            res = cg_steps(
+                task, label, float(p), flag_eigvals=True,
+                raise_on_nonconv=False, svd_cache=svd_cache,
+            )
+            merged.setdefault(f"eigvals_{label}_0", res["eigvals_K"])
+            merged[f"eigvals_{label}_{100 * p:.2f}"] = res["eigvals"]
+            percentage_arr.append(res[f"{label}_percentage"][0])
+            for key in ("dataset_name", "K.shape", "n_kernel", "n_datapoints"):
+                merged.setdefault(key, res[key])
+        merged[f"{label}_percentage"] = np.asarray(percentage_arr)
+    return merged

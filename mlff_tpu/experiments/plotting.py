@@ -142,3 +142,148 @@ def plot_rule_of_thumb_prediction(
     fig.savefig(out)
     plt.close(fig)
     return Path(out)
+
+
+# consistent strategy colors across every figure (reference
+# plot_data.py map_dict_label_to_color semantics, our own palette)
+_STRATEGY_COLORS = {
+    "eigvec_precon": "#4053d3",
+    "cholesky": "#ddb310",
+    "cholesky_panel": "#b51d14",
+    "rpcholesky": "#00beff",
+    "lev_random": "#fb49b0",
+    "lev_scores": "#00b25d",
+    "inverse_lev": "#cacaca",
+    "random_scores": "#878500",
+    "truncated_cholesky": "#00c6f8",
+    "rank_k_lev_scores": "#d163e6",
+}
+
+
+def _strategy_color(label: str):
+    return _STRATEGY_COLORS.get(label.removesuffix("_custom"))
+
+
+def _normalized_spectrum(eigvals: np.ndarray, n_eigvals: int | None = None):
+    """|lambda| / |lambda|_min, sorted descending (reference
+    plot_data.py:206-209 preprocess_eigvals)."""
+    e = np.abs(np.asarray(eigvals, dtype=float))
+    e = np.sort(e / e.min())[::-1]
+    return e[:n_eigvals]
+
+
+def plot_spectrum_grid(
+    dict_data: dict,
+    out: str | Path,
+    n_eigvals: int = 150,
+    labels: tuple[str, ...] | None = None,
+):
+    """Preconditioned-spectrum panel figure (reference plot_data.py:206-370).
+
+    One subplot per preconditioning percentage (descending left to right),
+    each showing the normalized spectrum of P^-1 K_lambda per strategy on a
+    log axis, with the raw kernel spectrum in grey and its condition number
+    annotated on the first panel.  ``dict_data`` uses the archive schema of
+    harness.spectra_sweep: ``eigvals_<label>_<p:.2f>`` keys, p in percent.
+    """
+    init_style()
+    if labels is None:
+        labels = sorted({
+            key[len("eigvals_"):key.rfind("_")] for key in dict_data
+            if key.startswith("eigvals_") and not key.endswith("_K")
+        })
+    # percentages present for the first strategy (reference parses key names)
+    prefix = f"eigvals_{labels[0]}_"
+    percentages = sorted(
+        {float(key[len(prefix):]) for key in dict_data
+         if key.startswith(prefix) and float(key[len(prefix):]) > 0},
+        reverse=True,
+    )
+    if not percentages:
+        raise ValueError("no spectrum measurements in dict_data")
+
+    n_kernel = int(dict_data["K.shape"][0])
+    n_panels = len(percentages)
+    fig, axes = plt.subplots(
+        1, n_panels, sharex=True, sharey=True,
+        figsize=(1.9 * n_panels + 1.6, 2.6), squeeze=False,
+    )
+    raw = _normalized_spectrum(dict_data[f"eigvals_{labels[0]}_0"], n_eigvals)
+    for i, (ax, p) in enumerate(zip(axes[0], percentages)):
+        ax.plot(raw, c="grey", alpha=0.5, label="raw kernel" if i == 0 else None)
+        for label in labels:
+            key = f"eigvals_{label}_{p:.2f}"
+            if key not in dict_data:
+                continue
+            ax.plot(_normalized_spectrum(dict_data[key], n_eigvals),
+                    c=_strategy_color(label), label=label if i == n_panels - 1 else None)
+        ax.set_yscale("log")
+        ax.set_title(f"k = {int(p / 100.0 * n_kernel)}", fontsize=10)
+        if i == 0:
+            ax.set_ylabel(r"spectrum of $P^{-1} K_\lambda$")
+            ax.annotate(f"$\\kappa$ = {raw.max():.1e}", (0.05, 0.05),
+                        xycoords="axes fraction", fontsize=8, color="grey")
+        ax.set_xlabel("# eigenvalues")
+    axes[0, -1].legend(fontsize=8, loc="upper right")
+    fig.suptitle(
+        f"{dict_data.get('dataset_name', '')}, n = {n_kernel}", fontsize=10)
+    fig.savefig(out)
+    plt.close(fig)
+    return Path(out)
+
+
+def plot_cg_steps_difference(
+    dict_datas: dict | list,
+    reference_label: str,
+    out: str | Path,
+    labels: tuple[str, ...] | None = None,
+):
+    """Difference-to-baseline CG-step curves (reference
+    plot_data.py:1289-1361): for each strategy, the interpolated
+    iterations-vs-k/n curve minus the baseline strategy's (usually the
+    truncated-SVD 'eigvec_precon'), i.e. the suboptimality gap
+    #_method(k) - #_baseline(k), log scale.  Pass one archive-schema dict
+    (single molecule) or a list (stacked panels, one molecule each)."""
+    from scipy.interpolate import interp1d
+
+    init_style()
+    if isinstance(dict_datas, dict):
+        dict_datas = [dict_datas]
+    dict_datas = sorted(dict_datas,
+                        key=lambda d: d.get("n_datapoints", 0), reverse=True)
+    n_rows = len(dict_datas)
+    fig, axes = plt.subplots(
+        n_rows, 1, sharex=True, figsize=(7, 1.8 * n_rows + 1), squeeze=False)
+
+    for row, (ax, data) in enumerate(zip(axes[:, 0], dict_datas)):
+        if f"{reference_label}_percentage" not in data:
+            raise ValueError(f"baseline {reference_label!r} missing")
+        x_ref = np.asarray(data[f"{reference_label}_percentage"], dtype=float)
+        y_ref = np.asarray(data[f"{reference_label}_cgsteps"], dtype=float)
+        f_ref = interp1d(x_ref, y_ref, kind="linear")
+        row_labels = labels or sorted(
+            key[: -len("_cgsteps")] for key in data if key.endswith("_cgsteps"))
+        for label in row_labels:
+            if label == reference_label or f"{label}_percentage" not in data:
+                continue
+            x = np.asarray(data[f"{label}_percentage"], dtype=float)
+            y = np.asarray(data[f"{label}_cgsteps"], dtype=float)
+            f = interp1d(x, y, kind="linear")
+            lo = max(x.min(), x_ref.min())
+            hi = min(x.max(), x_ref.max())
+            if hi <= lo:
+                continue
+            grid = np.linspace(lo, hi, 500)
+            ax.plot(grid, f(grid) - f_ref(grid), c=_strategy_color(label),
+                    label=label if row == 0 else None)
+        ax.set_yscale("log")
+        ax.annotate(str(data.get("dataset_name", "")), (0.98, 0.9),
+                    xycoords="axes fraction", ha="right", fontsize=9)
+        if row == n_rows // 2:
+            ax.set_ylabel(
+                f"extra steps vs {reference_label}")
+    axes[0, 0].legend(fontsize=8, ncol=2)
+    axes[-1, 0].set_xlabel(r"fraction of columns $k/n$")
+    fig.savefig(out)
+    plt.close(fig)
+    return Path(out)

@@ -129,3 +129,57 @@ def test_visualize_smoke(tmp_path, ethanol_ds):
         ethanol_ds["R"][0], ethanol_ds["z"], contrib, tmp_path / "mol.png"
     )
     assert out.exists()
+
+
+def test_spectra_sweep_and_spectrum_grid(tmp_path, ethanol_ds):
+    """Real harness spectra over a (strategy x k) grid -> panel figure
+    (reference plot_data.py:206-370 over create_data.py:173-203 output)."""
+    from mlff_tpu.experiments import plotting
+    from mlff_tpu.experiments.harness import harness_task, spectra_sweep
+
+    task = harness_task(ethanol_ds, n_datapoints=8, sig=5.0, n_valid=6,
+                        use_sym=False)
+    data = spectra_sweep(task, ("random_scores", "eigvec_precon"),
+                         (0.1, 0.3))
+    n = int(data["K.shape"][0])
+    # archive schema: raw spectrum + per-percentage spectra, percent keys
+    assert f"eigvals_random_scores_0" in data
+    assert f"eigvals_random_scores_{10.0:.2f}" in data
+    assert len(data["eigvals_eigvec_precon_30.00"]) == n
+
+    # preconditioning must tighten the spectrum at larger k
+    from mlff_tpu.experiments.plotting import _normalized_spectrum
+    raw = _normalized_spectrum(data["eigvals_random_scores_0"])
+    pre = _normalized_spectrum(data["eigvals_eigvec_precon_30.00"])
+    assert pre.max() < raw.max()
+
+    out = plotting.plot_spectrum_grid(data, tmp_path / "spectra.png")
+    assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_cg_steps_difference_plot(tmp_path, ethanol_ds):
+    """Difference-to-SVD-baseline figure from real k-sweeps
+    (reference plot_data.py:1289-1361)."""
+    from mlff_tpu.experiments import plotting
+    from mlff_tpu.experiments.harness import (
+        harness_task, merge_sweeps, minimum_preconditioner_size,
+    )
+
+    task = harness_task(ethanol_ds, n_datapoints=10, sig=5.0, n_valid=6,
+                        use_sym=False)
+    sweeps = [
+        minimum_preconditioner_size(
+            task, s, percentages=np.array([0.1, 0.2, 0.4]))
+        for s in ("eigvec_precon", "random_scores", "lev_random")
+    ]
+    data = merge_sweeps(sweeps)
+    assert "eigvec_precon_cgsteps" in data and "lev_random_cgsteps" in data
+
+    out = plotting.plot_cg_steps_difference(
+        data, "eigvec_precon", tmp_path / "diff.png")
+    assert out.exists() and out.stat().st_size > 10_000
+    # stacked multi-molecule variant
+    out2 = plotting.plot_cg_steps_difference(
+        [data, dict(data, dataset_name="copy")], "eigvec_precon",
+        tmp_path / "diff_all.png")
+    assert out2.exists()
