@@ -72,6 +72,14 @@ def _stabilize_cache_key() -> None:
 if _cache_dir.lower() != "off":
     _stabilize_cache_key()
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # by default jax points the (GPU-only) per-fusion autotune cache at a
+    # subdirectory of the compilation cache — and that PATH is hashed into
+    # every cache key, so entries built under one cache location silently
+    # miss under another (this is exactly how a shipped seed cache dies).
+    # Root-caused via per-component key hashing: identical computation/
+    # backend/flags hashes, compile_options differing only in
+    # xla_gpu_per_fusion_autotune_cache_dir.  Irrelevant on TPU: disable.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)  # the remote-compile tunnel makes even tiny eager ops cost ~0.5 s each
     # keep source locations/tracebacks out of the lowered IR: they shift on
     # every source edit and silently invalidate the persistent cache keys

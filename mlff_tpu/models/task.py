@@ -36,6 +36,7 @@ def create_task(
     n_inducing_pts_init: int = 25,
     interact_cut_off: float | None = None,
     seed_idxs_train: int = 0,
+    perms: "np.ndarray | None" = None,
 ) -> dict:
     """Sample train/valid subsets and assemble a task dict
     (reference train.py:296-535; sampling seeded identically, train.py:280)."""
@@ -116,7 +117,16 @@ def create_task(
         task["r_unit"] = train_dataset["r_unit"]
         task["e_unit"] = train_dataset["e_unit"]
 
-    if use_sym:
+    if perms is not None:
+        # explicit permutation group (benchmark workloads impose the real
+        # molecules' groups on synthetic geometries; data.synthetic
+        # .make_benchmark_dataset) — every perm must map same-z atoms
+        perms = np.asarray(perms, dtype=np.int64).reshape(-1, R_train.shape[1])
+        z = np.asarray(train_dataset["z"])
+        assert all((z[p] == z).all() for p in perms), \
+            "perms must permute same-species atoms"
+        task["perms"] = perms
+    elif use_sym:
         n_sym_geo = min(len(R_train), 1000)
         task["perms"] = find_perms(
             R_train[:n_sym_geo], np.asarray(train_dataset["z"])

@@ -100,6 +100,25 @@ def pairwise_dist_gram(Xq_a: jnp.ndarray, Xq_b: jnp.ndarray):
     return jnp.sqrt(d2)
 
 
+def downcast_cache(cache: "KernelCache", dtype=jnp.float32) -> "KernelCache":
+    """Copy of a (f64-built) cache with the per-iteration GEMM operands
+    (Xq/Xqt/A_exp/A_exp1) downcast for the mixed-precision CG matvec.
+
+    Split-phase design: the preconditioner build keeps the f64 cache (its
+    factors must not carry frozen low-precision error — the apply is the
+    noise-sensitive operator, see the noise-knee measurement in
+    tests/test_mixed_matvec.py), while the solve-phase matvec streams the
+    downcast copy.  The lam/X/Jc leaves stay f64: the (K v) result is cast
+    back and combined with lam*v in f64, which is what makes reduced
+    precision usable at lam = 1e-10 at all."""
+    return cache._replace(
+        Xq=cache.Xq.astype(dtype),
+        Xqt=cache.Xqt.astype(dtype),
+        A_exp=None if cache.A_exp is None else cache.A_exp.astype(dtype),
+        A_exp1=None if cache.A_exp1 is None else cache.A_exp1.astype(dtype),
+    )
+
+
 @partial(jax.jit, static_argnames=("compute_dtype", "pairwise"))
 def build_cache(
     X: jnp.ndarray,
@@ -199,12 +218,20 @@ def _desc_forces(cache: KernelCache, Xq_query, A_exp, A_exp1, wt):
 def _desc_forces_x(Xqt, sig, Xq_query, A_exp, A_exp1, wt):
     """_desc_forces on explicit training descriptors — the same math serves
     the packed (B, D) and the square (B, A*A) descriptor layouts, since
-    every step is an inner product / linear map in descriptor space."""
+    every step is an inner product / linear map in descriptor space.
+
+    The three big GEMMs carry an explicit precision: at f64 it is a no-op;
+    at f32 (build_cache compute_dtype=float32) HIGHEST selects the bf16x6
+    passes (~2^-24 relative) instead of the single-pass bf16 default whose
+    ~1e-3 error breaks CG (the noise-knee measurement tolerates 1e-7 in
+    the matvec at <4% extra iterations but diverges around 1e-3)."""
+    hp = jax.lax.Precision.HIGHEST
     ct = jnp.sum(Xqt * wt, axis=1)                  # (M,)
-    dot = Xq_query @ wt.T - ct[None, :]             # (B, M)
+    dot = jnp.matmul(Xq_query, wt.T, precision=hp) - ct[None, :]  # (B, M)
     G = A_exp * dot
-    F1 = Xq_query * jnp.sum(G, axis=1, keepdims=True) - G @ Xqt
-    F2 = A_exp1 @ wt
+    F1 = Xq_query * jnp.sum(G, axis=1, keepdims=True) \
+        - jnp.matmul(G, Xqt, precision=hp)
+    F2 = jnp.matmul(A_exp1, wt, precision=hp)
     F_desc = F1 - F2
     q = SQRT5 / sig
     E = jnp.sum(A_exp1 * dot, axis=1) / q

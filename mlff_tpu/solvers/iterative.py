@@ -258,7 +258,20 @@ def solve_iterative(
     # into the compiled CG loop as an argument (not embedded constants) and
     # the chunk executable is shared across solves
     mv_fn = knl.matvec_psd_ecstr if use_E_cstr else knl.matvec_psd
-    matvec = (mv_fn, cache)
+    mv_cache = cache
+    exact_matvec = None
+    if str(task.get("matvec_dtype", "float64")) == "float32":
+        # mixed-precision CG matvec: GEMM operands stream as f32 (HIGHEST
+        # precision passes), lam*v combination + Jacobian contractions stay
+        # f64.  The preconditioner build above used the full-f64 cache.
+        # The f64 operator rides along for periodic residual replacement
+        # (solvers.cg._pcg_drive) — without it the ~5e-7 matvec error
+        # drifts the recursive residual and fakes convergence.
+        mv_cache = knl.downcast_cache(cache)
+        exact_matvec = (mv_fn, cache)
+        log.info("matvec: mixed precision (f32 GEMM operands, f64 residual "
+                 "replacement)")
+    matvec = (mv_fn, mv_cache)
     impl = str(task.get("matvec_impl", "auto"))
     if mesh is not None:
         from ..parallel import mesh as pmesh
@@ -316,6 +329,7 @@ def solve_iterative(
             callback=callback, checkpoint_callback=ckpt,
             it0=num_iters0,
             break_on_stagnation=allow_restarts,
+            exact_matvec=exact_matvec,
         )
         if result.num_iters - it0_initial >= maxiter:
             break

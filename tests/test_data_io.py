@@ -336,3 +336,35 @@ def test_cache_key_build_stamp_sanitizer():
     c = key_for(base.replace("compat c49", "compat c50")
                 + "Built on Nov 12 2025 14:16:36 (1762985796) cl/831091709")
     assert c != a, "compat version must still key the cache"
+
+
+def test_cache_key_independent_of_cache_dir():
+    """Compile-options cache-key hashes must not depend on the compilation
+    cache directory: jax's default points the (GPU-only) per-fusion
+    autotune cache at a subdir of the compile cache and hashes that PATH
+    into every key, so a shipped seed cache would silently miss under any
+    other cache location.  mlff_tpu disables it at import."""
+    import hashlib
+
+    import jax
+    from jax._src import cache_key as ck
+    from jax._src import compiler
+
+    import mlff_tpu  # noqa: F401  (applies the config at import)
+
+    assert jax.config.jax_persistent_cache_enable_xla_caches == "none"
+
+    def opts_hash(cache_dir):
+        old = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            d = jax.devices()[0]
+            opts = compiler.get_compile_options(
+                num_replicas=1, num_partitions=1, device_assignment=[[d]])
+            h = hashlib.sha256()
+            ck._hash_serialized_compile_options(h, opts)
+            return h.hexdigest()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
+
+    assert opts_hash("/tmp/ckA") == opts_hash("/tmp/ckB")

@@ -1,11 +1,19 @@
 """Golden regression against the reference's archived measurement data.
 
-The reference repo ships the paper's raw k-sweep measurements
-(data/data/cg_performance_n=15750/*, 31-point sweeps per molecule).  Running
-our rule-of-thumb analysis pipeline on those real curves must recover fitted
-constants compatible with the paper's published per-molecule parameters
-(data/rule_of_thumb.csv rows 0-6: ethanol m=0.87/k_unity=10, aspirin
-1.14/236, ... — fitted there from larger-n sweeps, so wide bands here)."""
+Two layers:
+  * EXACT analysis parity — running our rule-of-thumb fit on the very
+    sweeps the paper fitted (data/data/rule_of_thumb/"estimate_slope,
+    nmax = 31 500"/*, largest-n rows, exactly like reference
+    plot_data.py:634-674 measure_slope) must reproduce the published
+    per-molecule constants (data/rule_of_thumb.csv rows 0-6) to ~1%.
+  * ITERATION-COUNT parity protocol — our solver at the archived
+    n = 15,741 ethanol operating point with the same (strategy, k/n) must
+    land in a stated band of the archived cgsteps curve.  Exact parity
+    needs the real MD17 data (unavailable offline); the synthetic dataset
+    reproduces the kernel structure but not the exact spectrum, so the
+    band is a factor-2 envelope documented here rather than the 5%
+    north-star, which is reserved for runs on the real datasets.
+"""
 
 import os
 import pickle
@@ -17,43 +25,74 @@ import pytest
 from mlff_tpu.experiments.rule_of_thumb import fit_slope, optimal_precon_k
 
 ARCHIVE = Path("/root/reference/data/data/cg_performance_n=15750")
+SLOPE_ARCHIVE = Path(
+    "/root/reference/data/data/rule_of_thumb/estimate_slope, nmax = 31 500"
+)
 
 requires_archive = pytest.mark.skipif(
     not ARCHIVE.is_dir(), reason="reference archive not available"
 )
+requires_slope_archive = pytest.mark.skipif(
+    not SLOPE_ARCHIVE.is_dir(), reason="reference archive not available"
+)
 
 
-def _load(name_fragment):
-    for fn in os.listdir(ARCHIVE):
+class _AnyTuple(tuple):
+    """Stand-in for unpicklable foreign classes (old platform.uname_result)."""
+
+    def __new__(cls, *args, **kwargs):
+        return super().__new__(cls, args)
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module == "platform":
+            return _AnyTuple
+        return super().find_class(module, name)
+
+
+def _load(directory: Path, name_fragment: str) -> dict:
+    for fn in os.listdir(directory):
         if name_fragment in fn:
-            with open(ARCHIVE / fn, "rb") as f:
-                return pickle.load(f)
+            with open(directory / fn, "rb") as f:
+                return _TolerantUnpickler(f).load()
     raise FileNotFoundError(name_fragment)
 
 
-@requires_archive
-@pytest.mark.parametrize(
-    "fragment,m_band,ku_band",
-    [
-        ("ethanol", (0.7, 1.15), (5, 40)),      # paper: 0.87 / 10
-        ("aspirin", (0.95, 1.45), (100, 600)),  # paper: 1.14 / 236
-        ("uracil", (0.85, 1.45), (15, 150)),    # paper: 1.07 / 32
-    ],
-)
-def test_fitted_slopes_match_paper_constants(fragment, m_band, ku_band):
-    d = _load(fragment)
-    n = d["K.shape"][0]
-    k = np.asarray(d["lev_random_percentage"]) * n
-    steps = np.asarray(d["lev_random_cgsteps"])
-    m, ku = fit_slope(k, steps, n)
-    assert m_band[0] <= m <= m_band[1], f"fitted slope {m}"
-    assert ku_band[0] <= ku <= ku_band[1], f"fitted k_unity {ku}"
+# data/rule_of_thumb.csv rows 0-6 (also plot_data.py:677-734 get_params)
+PAPER_CONSTANTS = {
+    "ethanol": (0.87, 10),
+    "uracil": (1.07, 32),
+    "toluene": (1.01, 44),
+    "aspirin": (1.14, 236),
+    "azobenzene": (1.02, 62),
+    "catcher": (1.02, 316),
+    "nanotube": (0.73, 89),
+}
+
+
+@requires_slope_archive
+@pytest.mark.parametrize("molecule", sorted(PAPER_CONSTANTS))
+def test_fit_reproduces_published_constants_exactly(molecule):
+    """Same data, same fit => same constants: fitting the largest-n rows of
+    the paper's own slope-estimation sweeps recovers the published
+    (m, k_unity) to 1% / 5% (reference measure_slope fits the max-n rows,
+    plot_data.py:641)."""
+    d = _load(SLOPE_ARCHIVE, molecule)
+    nmax = max(d["list_n_datapoints"])
+    n_kernel = d[f"{nmax}_K.shape"][0]
+    k = np.asarray(d[f"{nmax}_lev_random_percentage"]) * n_kernel
+    steps = np.asarray(d[f"{nmax}_lev_random_cgsteps"])
+    m, ku = fit_slope(k, steps, n_kernel)
+    m_paper, ku_paper = PAPER_CONSTANTS[molecule]
+    assert abs(m - m_paper) <= 0.012, f"fitted slope {m} vs paper {m_paper}"
+    assert abs(ku / ku_paper - 1) <= 0.05, f"fitted k_unity {ku} vs {ku_paper}"
 
 
 @requires_archive
 def test_archived_cg_curves_are_monotone_decreasing():
     """More preconditioner rank => fewer CG iterations, on the real data."""
-    d = _load("ethanol")
+    d = _load(ARCHIVE, "ethanol")
     steps = np.asarray(d["lev_random_cgsteps"], dtype=float)
     k = np.asarray(d["lev_random_percentage"])
     order = np.argsort(k)
@@ -67,5 +106,49 @@ def test_archived_cg_curves_are_monotone_decreasing():
 @requires_archive
 def test_baseline_iteration_time_constant():
     """The BASELINE.md headline number comes from this archive entry."""
-    d = _load("ethanol")
+    d = _load(ARCHIVE, "ethanol")
     assert abs(d["time_cg_step"] - 0.130) < 0.02
+
+
+@requires_archive
+@pytest.mark.slow
+def test_iteration_count_parity_protocol_n15741():
+    """Iteration-count parity protocol (BASELINE.md north star).
+
+    Train the difficulty-calibrated benchmark ethanol at n = 15,741
+    (n_train = 583, the archived kernel size) with the molecule's REAL
+    permutation group (P = 6) and the archived hyperparameters
+    (sig = 10, tol 1e-4, lev_random), at two archived k/n points; our CG
+    iteration counts must land within [0.6, 1.6]x of the archived curve
+    (calibration run 2026-08: 171 vs archived 196 at k/n = 0.105, 386 vs
+    379 at k/n = 0.049).  On the real MD17 datasets the protocol is the
+    same with the band tightened to 5%; the synthetic potential shares the
+    kernel's structure and — after calibration — its difficulty, but not
+    MD17's exact spectrum.
+    """
+    from mlff_tpu.data.synthetic import make_benchmark_dataset
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+
+    d = _load(ARCHIVE, "ethanol")
+    n_arch = d["K.shape"][0]
+    perc = np.asarray(d["lev_random_percentage"], dtype=float)
+    steps = np.asarray(d["lev_random_cgsteps"], dtype=float)
+
+    ds, perms = make_benchmark_dataset("ethanol", 583 + 60)
+    task = create_task(ds, 583, ds, n_valid=40, sig=10.0, solver="cg",
+                       perms=perms)
+    n = int(np.asarray(task["F_train"]).size)
+    assert n == n_arch == 15741
+    assert perms.shape[0] == 6
+
+    for target_p in (0.105, 0.049):
+        idx = int(np.argmin(np.abs(perc - target_p)))
+        p = float(perc[idx])
+        model = Trainer().train(task, break_percentage=p,
+                                str_preconditioner="lev_random")
+        ours = int(model["solver_iters"])
+        archived = float(steps[idx])
+        assert 0.6 * archived <= ours <= 1.6 * archived, (
+            f"k/n={p:.3f}: ours {ours} vs archived {archived}"
+        )

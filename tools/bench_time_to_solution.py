@@ -63,6 +63,12 @@ def main():
     p.add_argument("--n-train", type=int, default=None,
                    help="default: n = 3*d*n_train closest to 31,400")
     p.add_argument("--sig", type=float, default=5.0)
+    p.add_argument("--benchmark-data", action="store_true",
+                   help="difficulty-calibrated dataset + the molecule's real "
+                        "permutation group (equal-footing workload)")
+    p.add_argument("--matvec-dtype", default=None,
+                   help="float64 (default) or float32 (mixed-precision CG "
+                        "matvec)")
     p.add_argument("--nystrom-method", default=None,
                    help="eigh (default) or chol_host")
     p.add_argument("--apply-impl", default=None,
