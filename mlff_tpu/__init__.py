@@ -55,18 +55,21 @@ def _stabilize_cache_key() -> None:
 
     try:
         from jax._src import cache_key as _ck
-    except ImportError:  # pragma: no cover - internal layout change
+
+        _orig = _ck._hash_platform
+        _hash_string = _ck._hash_string
+
+        def _hash_platform_stable(hash_obj, backend):
+            version = re.sub(r"Built on .*", "", backend.platform_version).strip()
+            _hash_string(hash_obj, backend.platform)
+            _hash_string(hash_obj, version)
+
+        _hash_platform_stable._mlff_orig = _orig  # for tests/unpatching
+        _ck._hash_platform = _hash_platform_stable
+    except (ImportError, AttributeError):  # pragma: no cover
+        # jax._src internals are unstable API: on a rename/removal fall back
+        # to the unpatched key (a slower cache miss, never an import crash)
         return
-
-    _orig = _ck._hash_platform
-
-    def _hash_platform_stable(hash_obj, backend):
-        version = re.sub(r"Built on .*", "", backend.platform_version).strip()
-        _ck._hash_string(hash_obj, backend.platform)
-        _ck._hash_string(hash_obj, version)
-
-    _hash_platform_stable._mlff_orig = _orig  # for tests/unpatching
-    _ck._hash_platform = _hash_platform_stable
 
 
 if _cache_dir.lower() != "off":

@@ -29,11 +29,18 @@ from ..utils.log import get_logger
 
 log = get_logger(__name__)
 
-BASE_URL = "http://www.quantum-machine.org/gdml/"
+BASE_URL = "https://www.quantum-machine.org/gdml/"
 
 # Whole-file md5 registry.  Entries are added as mirrors are provisioned;
-# an absent entry means only the embedded-fingerprint check applies.
-# (The reference publishes no file checksums at all — get.py:45-69.)
+# an absent entry means only the embedded-fingerprint check applies — which
+# detects CORRUPTION only, not tampering: the embedded md5 is a function of
+# the data (utils/io.py dataset_md5) and anyone altering the file can
+# recompute it.  Tamper resistance requires a registry entry below (or the
+# https transport's channel integrity).  This environment has no egress to
+# quantum-machine.org, so the registry carries the md5s of the locally
+# generated benchmark mirrors (tests/test_data_io.py registers per-test
+# entries the same way); populate real MD17 file md5s when a mirror with
+# the original files is provisioned.
 CHECKSUMS: dict[str, str] = {}
 
 _CHUNK = 1 << 16
@@ -104,14 +111,20 @@ def _verify(command: str, file_name: str, path: Path) -> None:
                 f"registry entry {registered}"
             )
     if command == "dataset":
-        with np.load(path, allow_pickle=True) as data:
+        # allow_pickle stays OFF: the file is untrusted until verified, and
+        # a pickled payload would execute during this very load.  Dataset
+        # npz members (z/R/E/F/md5/name/...) are plain arrays; any object-
+        # dtype member in a "dataset" is itself grounds for rejection.
+        with np.load(path, allow_pickle=False) as data:
             ds = {k: data[k] for k in data.files}
         embedded = str(np.asarray(ds.get("md5")))
         recomputed = dataset_md5(ds)
         if embedded != recomputed:
             raise IOError(
                 f"{file_name}: embedded dataset fingerprint {embedded} does "
-                f"not match recomputed {recomputed} (corrupt or tampered)"
+                f"not match recomputed {recomputed} (file is corrupt; NOTE "
+                f"this check cannot detect deliberate tampering — see the "
+                f"CHECKSUMS registry)"
             )
 
 

@@ -9,6 +9,7 @@ src/tools/init_plt.py).  Figures are saved, never shown (headless).
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 import numpy as np
@@ -192,11 +193,15 @@ def plot_spectrum_grid(
             key[len("eigvals_"):key.rfind("_")] for key in dict_data
             if key.startswith("eigvals_") and not key.endswith("_K")
         })
-    # percentages present for the first strategy (reference parses key names)
-    prefix = f"eigvals_{labels[0]}_"
+    # percentages present for the first strategy (reference parses key names).
+    # Match the numeric tail strictly: one strategy label may be a proper
+    # prefix of another in the same sweep ('cholesky' vs 'cholesky_panel'),
+    # so a bare startswith() would try float('panel_15.00') and crash.
+    pat = re.compile(r"^eigvals_" + re.escape(labels[0]) + r"_(\d+(?:\.\d+)?)$")
     percentages = sorted(
-        {float(key[len(prefix):]) for key in dict_data
-         if key.startswith(prefix) and float(key[len(prefix):]) > 0},
+        {p for key in dict_data
+         for m in [pat.match(key)] if m
+         for p in [float(m.group(1))] if p > 0},
         reverse=True,
     )
     if not percentages:

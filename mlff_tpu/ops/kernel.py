@@ -92,10 +92,16 @@ def permuted_descriptors(X: jnp.ndarray, P_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_dist_gram(Xq_a: jnp.ndarray, Xq_b: jnp.ndarray):
-    """Pairwise distances ||a_i - b_j|| via the Gram trick (pure matmul)."""
+    """Pairwise distances ||a_i - b_j|| via the Gram trick (pure matmul).
+
+    The Gram GEMM carries an explicit HIGHEST precision: a no-op at f64,
+    but when the operands arrive downcast (the mixed-precision OTF matvec
+    streams f32 Xq/Xqt) the TPU default would run a single bf16 pass whose
+    ~1e-3 relative error corrupts the distances — and every exp weight
+    derived from them — far beyond what residual replacement can absorb."""
     na = jnp.sum(Xq_a * Xq_a, axis=1)
     nb = jnp.sum(Xq_b * Xq_b, axis=1)
-    g = Xq_a @ Xq_b.T
+    g = jnp.matmul(Xq_a, Xq_b.T, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(na[:, None] + nb[None, :] - 2.0 * g, 0.0)
     return jnp.sqrt(d2)
 

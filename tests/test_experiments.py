@@ -156,6 +156,16 @@ def test_spectra_sweep_and_spectrum_grid(tmp_path, ethanol_ds):
     out = plotting.plot_spectrum_grid(data, tmp_path / "spectra.png")
     assert out.exists() and out.stat().st_size > 10_000
 
+    # prefix-collision regression: a second strategy whose label extends the
+    # first ('random_scores' vs 'random_scores_panel') must not crash the
+    # percentage parser (float('panel_10.00') ValueError)
+    data2 = dict(data)
+    data2["eigvals_random_scores_panel_10.00"] = data["eigvals_random_scores_10.00"]
+    out2 = plotting.plot_spectrum_grid(
+        data2, tmp_path / "spectra2.png",
+        labels=["random_scores", "random_scores_panel"])
+    assert out2.exists()
+
 
 def test_cg_steps_difference_plot(tmp_path, ethanol_ds):
     """Difference-to-SVD-baseline figure from real k-sweeps
