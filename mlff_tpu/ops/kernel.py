@@ -250,6 +250,146 @@ def perm_expand_w(w: jnp.ndarray, P_idx: jnp.ndarray) -> jnp.ndarray:
     return w[:, P_idx].reshape(-1, w.shape[1])
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision matvec (f32 MXU GEMMs, f64-accurate result)
+# ---------------------------------------------------------------------------
+#
+# TPU f64 GEMMs are emulated (8-way operand splits) and run the per-CG-
+# iteration contraction at ~0.1% of the chip's f32 peak.  A plain f32
+# downcast of the matvec lands ~1e-5..1e-6 relative error — past the
+# measured noise knee (1e-7 fresh matvec noise costs <4% iterations,
+# tests/test_mixed_matvec.py) — for two separable reasons measured here:
+#
+#   1. CANCELLATION in the Gram-trick dot:  dot = Xq.wt - Xqt.wt rounds
+#      at the magnitude of the *uncancelled* products, which exceed the
+#      difference by the inverse thermal-displacement scale (~10-100x).
+#      Fix: center both descriptor sets by a common vector c before the
+#      GEMM (algebraically exact:  (Xq-c).wt - (Xqt-c).wt = dot), so
+#      products already live at the difference scale.
+#   2. f32 ACCUMULATION over the M = N*P kernel axis (~sqrt(M) * 2^-24).
+#      Fix: split the contraction into chunks of _MIXED_CHUNK columns,
+#      one batched f32 GEMM computes all chunk partials on the MXU, and
+#      the partials are summed in f64 on the VPU.
+#
+# Operand quantization (2^-24 of the cached A_exp/A_exp1/Xqt and of the
+# per-iteration w) is corrected with one extra GEMM per split operand
+# (hi/lo error-free splitting, ops.df64.split_f64): the correction terms
+# are 2^-24-scaled, so plain f32 GEMMs handle them at 2^-48 overall.
+# Everything outside the (B, M)-shaped GEMMs stays f64.
+
+_MIXED_CHUNK = 32
+
+
+def _gemm_f32_chunkacc(A32: jnp.ndarray, B32: jnp.ndarray,
+                       mc: int | None = None) -> jnp.ndarray:
+    """A32 (B, M) @ B32 (M, D) with f32 MXU products and f64 chunk
+    accumulation.
+
+    With randomly-cancelling terms (the F2 = A_exp1 @ wt reduction cancels
+    ~sqrt(M)-fold: wt carries signed Jacobian weights), the f32 running-sum
+    rounding lands at ~2^-24 * mc / sqrt(M) relative to the result — the
+    chunk size controls the error LINEARLY, so mc = 32 puts the bench-scale
+    matvec (M ~ 7000) at ~2e-8, well inside the 1e-7 noise knee.  The
+    narrow contraction pads to a 128-wide MXU tile (4x pad waste) but the
+    GEMMs are bandwidth-bound, not MXU-bound."""
+    hp = jax.lax.Precision.HIGHEST
+    if mc is None:
+        mc = _MIXED_CHUNK
+    B_, M = A32.shape
+    D = B32.shape[1]
+    nc = -(-M // mc)
+    pad = nc * mc - M
+    if pad:
+        A32 = jnp.concatenate(
+            [A32, jnp.zeros((B_, pad), A32.dtype)], axis=1)
+        B32 = jnp.concatenate(
+            [B32, jnp.zeros((pad, D), B32.dtype)], axis=0)
+    part = jnp.einsum(
+        "bnm,nmd->nbd",
+        A32.reshape(B_, nc, mc), B32.reshape(nc, mc, D), precision=hp,
+    )                                                   # (nc, B, D) f32
+    return jnp.sum(part.astype(jnp.float64), axis=0)
+
+
+def _rowsum_f32_chunkacc(A32: jnp.ndarray, mc: int | None = None):
+    """sum(A32, axis=1) with f64 chunk accumulation: (B, M) f32 -> (B,) f64."""
+    if mc is None:
+        mc = _MIXED_CHUNK
+    B_, M = A32.shape
+    nc = -(-M // mc)
+    pad = nc * mc - M
+    if pad:
+        A32 = jnp.concatenate([A32, jnp.zeros((B_, pad), A32.dtype)], axis=1)
+    part = jnp.sum(A32.reshape(B_, nc, mc), axis=2)     # (B, nc) f32
+    return jnp.sum(part.astype(jnp.float64), axis=1)
+
+
+@jax.jit
+def matvec_ref_mixed(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
+    """K_ref @ v with f32 MXU GEMMs and ~1e-7-grade f64 accuracy.
+
+    Takes the FULL f64 cache (downcasts/splits happen inside the jit; they
+    are bandwidth-cheap next to the GEMM transients).  Matches matvec_ref
+    to ~sqrt(_MIXED_CHUNK) * 2^-24 relative — inside the measured noise
+    knee, so CG iteration counts track the f64 path within a few percent
+    while the GEMMs run at f32 MXU speed instead of 8-split f64 emulation.
+    """
+    from .df64 import split_f64
+
+    hp = jax.lax.Precision.HIGHEST
+    N = cache.X.shape[0]
+    A = cache.S.shape[1]
+    v3 = v.reshape(N, A, 3)
+    w64 = d_desc_dot_vec(cache.Jc, cache.S, v3)         # (N, D) f64
+    wt64 = perm_expand_w(w64, cache.P_idx)              # (M, D) f64
+
+    # 1. centered dot GEMM (f64 operands live in the cache)
+    c = jnp.mean(cache.Xq, axis=0)                      # (D,) f64
+    Xc = cache.Xq - c                                   # (N, D)
+    Xtc = cache.Xqt - c                                 # (M, D)
+    ct_c = jnp.sum(Xtc * wt64, axis=1)                  # (M,) f64
+    wh, wl = split_f64(wt64)
+    Xch, Xcl = split_f64(Xc)
+    Xtch, Xtcl = split_f64(Xtc)
+    dot = (
+        jnp.matmul(Xch, wh.T, precision=hp).astype(jnp.float64)
+        + jnp.matmul(Xcl, wh.T, precision=hp).astype(jnp.float64)
+        + jnp.matmul(Xch, wl.T, precision=hp).astype(jnp.float64)
+        - ct_c[None, :]
+    )                                                   # (B, M) f64
+
+    # 2. weights at the f64 values, split once
+    Ah, Al = split_f64(cache.A_exp)
+    A1h, A1l = split_f64(cache.A_exp1)
+    G64 = cache.A_exp * dot                             # (B, M) f64
+    Gh, Gl = split_f64(G64)
+
+    GX = (
+        _gemm_f32_chunkacc(Gh, Xtch)
+        + jnp.matmul(Gl, Xtch, precision=hp).astype(jnp.float64)
+        + jnp.matmul(Gh, Xtcl, precision=hp).astype(jnp.float64)
+    )                                                   # (B, D) f64
+    rowsum = _rowsum_f32_chunkacc(Gh) \
+        + jnp.sum(Gl.astype(jnp.float64), axis=1)       # (B,) f64
+    # G @ Xqt = G @ Xtc + rowsum(G) * c  (undo the centering)
+    F1 = cache.Xq * rowsum[:, None] - (GX + rowsum[:, None] * c[None, :])
+
+    F2 = (
+        _gemm_f32_chunkacc(A1h, wh)
+        + jnp.matmul(A1l, wh, precision=hp).astype(jnp.float64)
+        + jnp.matmul(A1h, wl, precision=hp).astype(jnp.float64)
+    )                                                   # (B, D) f64
+    F_desc = F1 - F2
+    out = vec_dot_d_desc(cache.Jc, cache.S, F_desc)
+    return out.reshape(-1)
+
+
+@jax.jit
+def matvec_psd_mixed(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
+    """(K + lam*I) @ v through the mixed-precision matvec."""
+    return cache.lam * v - matvec_ref_mixed(cache, v)
+
+
 # row-tile for the on-the-fly matvec: (tile, M) pairwise transients,
 # ~0.6 GB each at M = 18.5k (n = 500k)
 _OTF_TILE = 4096

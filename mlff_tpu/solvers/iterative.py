@@ -260,8 +260,9 @@ def solve_iterative(
     mv_fn = knl.matvec_psd_ecstr if use_E_cstr else knl.matvec_psd
     mv_cache = cache
     exact_matvec = None
-    if str(task.get("matvec_dtype", "float64")) == "float32":
-        # mixed-precision CG matvec: GEMM operands stream as f32 (HIGHEST
+    matvec_dtype = str(task.get("matvec_dtype", "float64"))
+    if matvec_dtype == "float32":
+        # plain-downcast CG matvec: GEMM operands stream as f32 (HIGHEST
         # precision passes), lam*v combination + Jacobian contractions stay
         # f64.  The preconditioner build above used the full-f64 cache.
         # The f64 operator rides along for periodic residual replacement
@@ -271,6 +272,14 @@ def solve_iterative(
         exact_matvec = (mv_fn, cache)
         log.info("matvec: mixed precision (f32 GEMM operands, f64 residual "
                  "replacement)")
+    elif matvec_dtype == "mixed" and not use_E_cstr and cache.A_exp is not None:
+        # centered + chunk-accumulated f32 matvec (ops.kernel mixed-precision
+        # notes): ~1e-7-grade accuracy at f32 MXU speed.  Residual
+        # replacement stays on as a correctness backstop.
+        mv_fn = knl.matvec_psd_mixed
+        exact_matvec = (knl.matvec_psd, cache)
+        log.info("matvec: mixed precision (centered f32 GEMMs, f64 chunk "
+                 "accumulation)")
     matvec = (mv_fn, mv_cache)
     impl = str(task.get("matvec_impl", "auto"))
     if mesh is not None:

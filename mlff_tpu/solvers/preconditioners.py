@@ -262,12 +262,20 @@ class DF64WoodburyPreconditioner(NamedTuple):
     VPU speed: the apply pair ran 11.3 ms vs 15.4-30 ms for the XLA-f64
     forms at (75k, 3840) on v5e.  Padding: Bh/Bl/W2 padded to the kernel
     tile size (zeros, inert); n-length vectors are padded per apply.
+
+    ``Bm`` (optional third component, f32(B - Bh - Bl), ~2^-72 grade):
+    the 2^-48 FROZEN quantization of the two-component form perturbs the
+    apply operator by ~2^-48 * ||W2||^2 ~ 1e-10/lam-grade — measured
+    +10-15%% CG iterations.  The third component removes the frozen error
+    (its contribution rides two plain f32 GEMVs; per-apply df64 rounding
+    is fresh noise and measured free).
     """
 
     Bh: jnp.ndarray   # (n_pad, m_pad) f32
     Bl: jnp.ndarray   # (n_pad, m_pad) f32
     W2: jnp.ndarray   # (m_pad, m_pad) f64
     lam: jnp.ndarray  # ()
+    Bm: jnp.ndarray | None = None  # (n_pad, m_pad) f32, 2^-48-scaled residual
 
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
         return df64_woodbury_apply(self, v)
@@ -282,44 +290,72 @@ def df64_woodbury_apply(
     """lam^-1 (v - B W2 W2^T B^T v) with the big passes in Pallas df64."""
     from ..ops import pallas_df64 as pdf
 
+    hp = jax.lax.Precision.HIGHEST
     n = v.shape[0]
     n_pad = P.Bh.shape[0]
     vp = v if n_pad == n else jnp.zeros(n_pad, v.dtype).at[:n].set(v)
     u = pdf.df64_bt_v(P.Bh, P.Bl, vp)                   # (m_pad,) f64
+    if P.Bm is not None:
+        # third-component correction: Bm ~ 2^-48 * ||B||, so a plain f32
+        # GEMV carries it at ~2^-72 overall — removes the frozen two-
+        # component quantization of the apply operator
+        v32 = vp.astype(jnp.float32)
+        u = u + jnp.matmul(v32[None, :], P.Bm,
+                           precision=hp)[0].astype(jnp.float64)
     x = P.W2 @ (P.W2.T @ u)                             # small f64 GEMVs
     y = pdf.df64_b_x(P.Bh, P.Bl, x)                     # (n_pad,) f64
+    if P.Bm is not None:
+        x32 = x.astype(jnp.float32)
+        y = y + jnp.matmul(P.Bm, x32[:, None],
+                           precision=hp)[:, 0].astype(jnp.float64)
     return (v - y[:n]) / P.lam
 
 
-@partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
-def _split_pad_b(B, n_pad: int, m_pad: int):
-    """f64 B (n, m) -> padded f32 (hi, lo) pair; B's buffer is donated and
-    the hi/lo split happens BEFORE padding (an f64 padded copy of the n=75k
-    factor transiently cost ~5 GB HBM and OOM'd)."""
+@partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(0,))
+def _split_pad_b(B, n_pad: int, m_pad: int, components: int = 3):
+    """f64 B (n, m) -> padded f32 (hi, lo[, mid]) tuple; B's buffer is
+    donated and the split happens BEFORE padding (an f64 padded copy of the
+    n=75k factor transiently cost ~5 GB HBM and OOM'd)."""
     from ..ops import df64 as _df64
 
     n, m = B.shape
     Bh, Bl = _df64.split_f64(B)
-    if (n_pad, m_pad) != (n, m):
-        Bh = jnp.zeros((n_pad, m_pad), jnp.float32).at[:n, :m].set(Bh)
-        Bl = jnp.zeros((n_pad, m_pad), jnp.float32).at[:n, :m].set(Bl)
-    return Bh, Bl
+    Bm = None
+    if components >= 3:
+        # residual below the two-component representation (~2^-48 scale);
+        # f64's 53-bit mantissa means it carries the remaining ~5 bits
+        # exactly — the frozen apply-operator error goes to zero
+        Bm = (B - Bh.astype(B.dtype) - Bl.astype(B.dtype)).astype(jnp.float32)
+    out = []
+    for comp in (Bh, Bl, Bm):
+        if comp is None:
+            out.append(None)
+        elif (n_pad, m_pad) != (n, m):
+            out.append(jnp.zeros((n_pad, m_pad), jnp.float32
+                                 ).at[:n, :m].set(comp))
+        else:
+            out.append(comp)
+    return tuple(out)
 
 
-def df64_from_split(P: "WoodburySplitPreconditioner") -> "DF64WoodburyPreconditioner":
+def df64_from_split(P: "WoodburySplitPreconditioner", components: int = 3
+                    ) -> "DF64WoodburyPreconditioner":
     """Convert a split Woodbury preconditioner to the Pallas-df64 form
     (pads storage to the kernel tile multiples).  P.B is consumed
-    (donated); do not use P afterwards."""
+    (donated); do not use P afterwards.  ``components=3`` (default) stores
+    the third f32 slice of B, eliminating the frozen-quantization
+    iteration penalty at +50%% factor memory; pass 2 to drop it when HBM
+    is the binding constraint."""
     from ..ops import pallas_df64 as pdf
 
     n, m = P.B.shape
     n_pad = -(-n // pdf.TILE_N) * pdf.TILE_N
     m_pad = -(-m // pdf.TILE_M) * pdf.TILE_M
-    Bh, Bl = _split_pad_b(P.B, n_pad, m_pad)
+    Bh, Bl, Bm = _split_pad_b(P.B, n_pad, m_pad, components)
     W2 = P.W2
     if m_pad != m:
         W2 = jnp.zeros((m_pad, m_pad), W2.dtype).at[:m, :m].set(W2)
-    return DF64WoodburyPreconditioner(Bh=Bh, Bl=Bl, W2=W2, lam=P.lam)
+    return DF64WoodburyPreconditioner(Bh=Bh, Bl=Bl, W2=W2, lam=P.lam, Bm=Bm)
 
 
 _tunnel_warmed = False

@@ -95,3 +95,32 @@ def test_df64_woodbury_apply_matches_split(rng):
     z_df = np.asarray(pc.df64_woodbury_apply(Pdf, v))
     rel = np.abs(z_df - z_ref).max() / np.abs(z_ref).max()
     assert rel < 1e-11, rel
+
+
+def test_df64_three_component_storage(rng):
+    """components=3 stores the 2^-48-scale residual of B exactly enough to
+    kill the frozen-operator quantization: Bh+Bl+Bm reconstructs B to
+    ~2^-70, and the apply matches the split apply at least as well as the
+    two-component form."""
+    from mlff_tpu.ops import pallas_df64 as pdf
+    from mlff_tpu.solvers import preconditioners as pc
+
+    n, m = 700, 150
+    lam = 1e-10
+    L = rng.standard_normal((n, m)) / np.sqrt(n)
+    P = pc.woodbury_from_factor(jnp.asarray(L), lam)
+    B64 = np.asarray(P.B)
+    Pdf = pc.df64_from_split(P, components=3)
+    assert Pdf.Bm is not None
+    recon = (np.asarray(Pdf.Bh, np.float64)
+             + np.asarray(Pdf.Bl, np.float64)
+             + np.asarray(Pdf.Bm, np.float64))[:B64.shape[0], :B64.shape[1]]
+    rel = np.abs(recon - B64).max() / np.abs(B64).max()
+    assert rel < 2.0**-68, rel
+
+    v = jnp.asarray(rng.standard_normal(n))
+    P2 = pc.woodbury_from_factor(jnp.asarray(L), lam)
+    z_ref = np.asarray(pc.woodbury_split_apply(P2, v))
+    z_df = np.asarray(pc.df64_woodbury_apply(Pdf, v))
+    rel = np.abs(z_df - z_ref).max() / np.abs(z_ref).max()
+    assert rel < 1e-11, rel

@@ -83,9 +83,21 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     d = MOLECULES[args.molecule]
     n_train = args.n_train or max(2, round(31400 / (3 * d)))
-    ds = make_dataset(args.molecule, n_samples=n_train + 60, seed=11)
-    task = create_task(ds, n_train, ds, n_valid=50, sig=args.sig,
-                       solver="cg", use_sym=False)
+    if args.benchmark_data:
+        # equal-footing workload: difficulty-calibrated data + the
+        # molecule's real permutation group, at the paper's sig = 10
+        from mlff_tpu.data.synthetic import make_benchmark_dataset
+
+        ds, perms = make_benchmark_dataset(
+            args.molecule, n_samples=n_train + 60, seed=11)
+        task = create_task(ds, n_train, ds, n_valid=50, sig=10.0,
+                           solver="cg", perms=perms)
+    else:
+        ds = make_dataset(args.molecule, n_samples=n_train + 60, seed=11)
+        task = create_task(ds, n_train, ds, n_valid=50, sig=args.sig,
+                           solver="cg", use_sym=False)
+    if args.matvec_dtype:
+        task["matvec_dtype"] = args.matvec_dtype
     if args.nystrom_method:
         task["nystrom_method"] = args.nystrom_method
     if args.apply_impl:
@@ -126,6 +138,8 @@ def main():
         "wall_total_s": round(total, 2),
         # this run's iterations only: solver_iters is a global counter that
         # includes warm-start iterations on resumed tasks
+        "workload": ("calibrated+perms" if args.benchmark_data
+                     else "easy(use_sym=False)"),
         "s_per_iter": round(t_cg / max(
             1, int(model["solver_iters"]) - int(task.get("solver_iters", 0) or 0)
         ), 4),

@@ -51,6 +51,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-train", type=int, default=2778)
     p.add_argument("--k", type=int, default=3753)
+    p.add_argument("--perms", action="store_true",
+                   help="use the benchmark ethanol permutation group (P=6)")
+    p.add_argument("--matvec-dtype", default="float64",
+                   help="float64 | float32 (downcast GEMM operands)")
+    p.add_argument("--apply-impl", default="xla", help="xla | df64")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
@@ -58,17 +63,30 @@ def main():
     spec = dsc.make_spec(N_ATOMS)
     S = dsc.incidence_matrix(spec)
     X, Jc = dsc.descriptors_from_R(spec, jnp.asarray(ds["R"]))
-    P_idx = jnp.asarray(np.arange(spec.dim)[None, :])
+    if args.perms:
+        from mlff_tpu.data.synthetic import benchmark_perms
+        from mlff_tpu.ops.descriptor import desc_perms
+
+        perms = benchmark_perms("ethanol")
+        P_idx = jnp.asarray(desc_perms(perms))
+    else:
+        P_idx = jnp.asarray(np.arange(spec.dim)[None, :])
     cache = knl.build_cache(X, Jc, S, P_idx, SIG, LAM)
     n = cache.n
     rng = np.random.default_rng(0)
     idxs = np.sort(rng.choice(n, args.k, replace=False))
     P = pc.nystrom_preconditioner(spec, cache, idxs, LAM)
+    if args.apply_impl == "df64":
+        P = pc.df64_from_split(P)
     y = jnp.asarray(rng.standard_normal(n))
-    print(f"n = {n}, k -> m_pad = {P.B.shape[1]}", file=sys.stderr, flush=True)
+    mv_cache = cache
+    if args.matvec_dtype == "float32":
+        mv_cache = knl.downcast_cache(cache)
+    print(f"n = {n}, P = {cache.n_perms}, k -> m_pad = {P.B.shape[1] if hasattr(P, 'B') else args.k}",
+          file=sys.stderr, flush=True)
 
-    t_full = run_case("full (matvec + apply)", (knl.matvec_psd, cache), P, y)
-    t_mv = run_case("matvec only (P = I)", (knl.matvec_psd, cache), None, y)
+    t_full = run_case("full (matvec + apply)", (knl.matvec_psd, mv_cache), P, y)
+    t_mv = run_case("matvec only (P = I)", (knl.matvec_psd, mv_cache), None, y)
     t_pc = run_case("apply only (A = I)", (_identity, None), P, y)
     t_none = run_case("vector ops only (A = P = I)",
                       (_identity, None), None, y)
