@@ -80,6 +80,40 @@ def shard_cache(cache: KernelCache, mesh: Mesh) -> KernelCache:
     return jax.tree.map(jax.device_put, cache, shardings)
 
 
+def square_cache_shardings(mesh: Mesh):
+    """PartitionSpec pytree for ops.kernel.SquareCache (row-sharded).
+
+    Everything with a leading training-point axis shards over 'rows' —
+    including the permuted training side Gst/Xst (M = N*P rows in
+    point-major order, so an M-axis shard boundary coincides with an
+    N-axis one whenever N divides the mesh): unlike the packed layout's
+    tiny (M, D) Xqt, the square training side is as large as the query
+    side and must not be replicated.  The per-iteration wt (M, A*A)
+    weights are computed row-locally; GSPMD inserts one all-gather of wt
+    for the (N, M)-shaped dot GEMM — the square-layout analog of the
+    packed path's w gather (the reference's matvec workers exchange the
+    same quantity, predict.py:451-500)."""
+    from ..ops.kernel import SquareCache
+
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    return SquareCache(
+        Gs=s(ROWS, None, None, None),
+        Gst=s(ROWS, None, None, None),
+        Xs=s(ROWS, None),
+        Xst=s(ROWS, None),
+        perms=s(),
+        A_exp=s(ROWS, None),
+        A_exp1=s(ROWS, None),
+        sig=s(),
+        lam=s(),
+    )
+
+
+def shard_square_cache(sq, mesh: Mesh):
+    """Place a built SquareCache onto the mesh (row-sharded layout)."""
+    return jax.tree.map(jax.device_put, sq, square_cache_shardings(mesh))
+
+
 def vector_sharding(mesh: Mesh) -> NamedSharding:
     """Length-n CG vectors: sharded over rows (n = N * 3A, N divisible by
     the mesh for clean layout; callers pad if needed)."""

@@ -286,10 +286,6 @@ def solve_iterative(
         from ..parallel import mesh as pmesh
 
         P_apply = pmesh.shard_preconditioner(P_apply, mesh)
-        if impl == "square" or (impl == "auto" and _square_matvec_wins(spec, cache)):
-            log.info("matvec: square layout has no sharding story yet; "
-                     "keeping the packed matvec on the mesh")
-        impl = "packed"
     if not use_E_cstr and (
         impl == "square"
         or (impl == "auto" and _square_matvec_wins(spec, cache))
@@ -302,8 +298,15 @@ def solve_iterative(
                                 np.arange(spec.n_atoms)[None])),
             float(cache.sig), lam,
         )
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            # row-sharded like the packed cache, incl. the permuted
+            # training side (parallel.mesh.square_cache_shardings)
+            sq = pmesh.shard_square_cache(sq, mesh)
         matvec = (knl.matvec_psd_square, sq)
-        log.info("matvec: square all-pairs layout (A=%d)", spec.n_atoms)
+        log.info("matvec: square all-pairs layout (A=%d%s)", spec.n_atoms,
+                 ", row-sharded" if mesh is not None else "")
     y_dev = jnp.asarray(y)
     if mesh is not None:
         from ..parallel import mesh as pmesh

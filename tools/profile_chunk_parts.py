@@ -54,7 +54,8 @@ def main():
     p.add_argument("--perms", action="store_true",
                    help="use the benchmark ethanol permutation group (P=6)")
     p.add_argument("--matvec-dtype", default="float64",
-                   help="float64 | float32 (downcast GEMM operands)")
+                   help="float64 | float32 (downcast GEMM operands) | "
+                        "mixed (centered f32 GEMMs, f64 chunk accumulation)")
     p.add_argument("--apply-impl", default="xla", help="xla | df64")
     args = p.parse_args()
 
@@ -79,14 +80,16 @@ def main():
     if args.apply_impl == "df64":
         P = pc.df64_from_split(P)
     y = jnp.asarray(rng.standard_normal(n))
-    mv_cache = cache
+    mv_fn, mv_cache = knl.matvec_psd, cache
     if args.matvec_dtype == "float32":
         mv_cache = knl.downcast_cache(cache)
-    print(f"n = {n}, P = {cache.n_perms}, k -> m_pad = {P.B.shape[1] if hasattr(P, 'B') else args.k}",
+    elif args.matvec_dtype == "mixed":
+        mv_fn = knl.matvec_psd_mixed
+    print(f"n = {n}, P = {cache.n_perms}, k -> m_pad = {P.Bh.shape[1] if hasattr(P, 'Bh') else P.B.shape[1]}",
           file=sys.stderr, flush=True)
 
-    t_full = run_case("full (matvec + apply)", (knl.matvec_psd, mv_cache), P, y)
-    t_mv = run_case("matvec only (P = I)", (knl.matvec_psd, mv_cache), None, y)
+    t_full = run_case("full (matvec + apply)", (mv_fn, mv_cache), P, y)
+    t_mv = run_case("matvec only (P = I)", (mv_fn, mv_cache), None, y)
     t_pc = run_case("apply only (A = I)", (_identity, None), P, y)
     t_none = run_case("vector ops only (A = P = I)",
                       (_identity, None), None, y)
