@@ -54,12 +54,17 @@ def evaluate(
     n_points: int = -1,
     batch_size: int = 250,
     seed: int = 0,
+    mesh=None,
 ) -> EvalResult:
     """Compute prediction errors of ``model`` on ``dataset``.
 
     ``idxs`` selects the evaluation subset; if absent, a stratified sample of
     ``n_points`` (all points for -1) drawn away from the model's train/valid
     indices (reference cli.py test-set sampling semantics).
+
+    ``mesh``: optional device mesh — the query batches are sharded over it
+    (models.predict.Predictor mesh mode; the reference's DataParallel
+    inference split, predict.py:336-341).
     """
     use_E = bool(np.asarray(model.get("use_E", False))) and "E" in dataset
 
@@ -80,7 +85,7 @@ def evaluate(
             cands = np.setdiff1d(np.arange(dataset["F"].shape[0]), excl)
             idxs = np.sort(rng.choice(cands, n_points, replace=False))
 
-    pred = Predictor(model)
+    pred = Predictor(model, mesh=mesh)
     z = np.asarray(model["z"])
     n_atoms = z.shape[0]
 
@@ -141,11 +146,12 @@ def evaluate(
     )
 
 
-def validate(model: dict, valid_dataset: dict, batch_size: int = 250) -> EvalResult:
+def validate(model: dict, valid_dataset: dict, batch_size: int = 250,
+             mesh=None) -> EvalResult:
     """Errors on the task's validation split (reference cli.validate)."""
     return evaluate(
         model, valid_dataset, idxs=np.asarray(model["idxs_valid"]),
-        batch_size=batch_size,
+        batch_size=batch_size, mesh=mesh,
     )
 
 

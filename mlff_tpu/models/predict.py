@@ -38,10 +38,17 @@ class Predictor:
     precision (~1e-6 relative force error), unlike the training solve.  Only
     available with energy-unconstrained models on TPU (interpret mode
     elsewhere is for tests).
+
+    ``mesh``: optional jax.sharding.Mesh — the query batch is sharded over
+    the mesh's first axis and each device contracts its geometries against
+    the (replicated, small) training side: the TPU mapping of the
+    reference's multi-GPU DataParallel split (reference predict.py:336-341,
+    torchtools.py:274-326).  Batches are padded to a multiple of the mesh
+    size.
     """
 
     def __init__(self, model: dict, batch_size: int | None = None,
-                 fast: bool = False):
+                 fast: bool = False, mesh=None):
         self.model = model
         n_atoms = int(np.asarray(model["z"]).shape[0])
         self.spec = dsc.make_spec(n_atoms)
@@ -84,10 +91,20 @@ class Predictor:
             # keep the (B, M) distance/exponential intermediates ~<= 1 GiB
             M = self.Xqt.shape[0]
             batch_size = max(1, min(512, int(2**27 / max(M, 1))))
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._batch_sharding = NamedSharding(
+                mesh, PartitionSpec(axis, None, None))
+            n_dev = mesh.devices.size
+            batch_size = max(n_dev, -(-batch_size // n_dev) * n_dev)
         self.batch_size = batch_size
 
         self.fast = (
-            bool(fast) and self.vE_lin is None
+            bool(fast) and self.vE_lin is None and mesh is None
             and jax.default_backend() == "tpu"
         )
         self._predict_batch = jax.jit(
@@ -175,12 +192,18 @@ class Predictor:
         for start in range(0, R.shape[0], B):
             batch = R[start : start + B]
             pad = 0
-            if batch.shape[0] < B and R.shape[0] > B:
-                # pad to the jitted batch shape to avoid recompiles
+            if batch.shape[0] < B and (
+                R.shape[0] > B or self._batch_sharding is not None
+            ):
+                # pad to the jitted batch shape to avoid recompiles (and,
+                # on a mesh, to an even per-device split)
                 pad = B - batch.shape[0]
                 batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)], axis=0)
+            batch_dev = jnp.asarray(batch)
+            if self._batch_sharding is not None:
+                batch_dev = jax.device_put(batch_dev, self._batch_sharding)
             try:
-                E, F = self._predict_batch(jnp.asarray(batch))
+                E, F = self._predict_batch(batch_dev)
             except Exception:
                 if not self.fast:
                     raise
@@ -191,7 +214,7 @@ class Predictor:
                 )
                 self.fast = False
                 self._predict_batch = jax.jit(self._predict_batch_impl)
-                E, F = self._predict_batch(jnp.asarray(batch))
+                E, F = self._predict_batch(batch_dev)
             E, F = np.asarray(E), np.asarray(F)
             if pad:
                 E, F = E[:-pad], F[:-pad]
