@@ -1,28 +1,49 @@
 """Benchmark: end-to-end PCG time-to-solution at the paper's n = 31,400 scale.
 
-Reproduces the reference's headline measurement: ethanol at kernel size
-n = 31,482 (n_train = 1166, d = 9), trained to the production tolerance
-1e-4 with the rule-of-thumb preconditioner rank.  The reference's recorded
-optimum is 0.8 min = 48 s of solver time on a cluster GPU/CPU node
+Reproduces the reference's headline measurement on the HONEST workload:
+ethanol at kernel size n = 31,482 (n_train = 1166, d = 9) with
+  * difficulty-CALIBRATED synthetic data (make_benchmark_dataset: lev_random
+    iteration counts at the archived n = 15,741 operating points match the
+    reference's measured curves within ~30%; the default synthetic data is
+    ~20x easier),
+  * the molecule's REAL permutation group (P = 6 -> the reference's
+    M = N * P per-iteration matvec workload, reference predict.py:420-447),
+  * the paper's sig = 10 and tol = 1e-4,
+trained to convergence.  The reference's recorded optimum is 0.8 min = 48 s
+of solver time at ITS empirically optimal k on a cluster GPU/CPU node
 (data/rule_of_thumb.csv row 0, `optimal_runtime_min`; see BASELINE.md).
 
-The reported value is the solver phase (preconditioner build + CG) —
-the same accounting as the reference's `total_time_preconditioner +
+Configuration choices (ours, measured on hardware — see RESULTS.md):
+  * preconditioner 'random_scores' — on ethanol the archived curves show
+    uniform column sampling equals lev_random quality (379 vs 384 CG steps
+    at k/n = 0.049, cg_performance_n=15750), and it needs NO leverage-score
+    pre-pass — less cold-start compile/build work;
+  * mixed-precision matvec (centered f32 MXU GEMMs + f64 chunk
+    accumulation, ops/kernel.py) and the Pallas df64 Woodbury apply with
+    3-component factor storage — both iteration-neutral by measurement.
+
+The reported value is the solver phase (preconditioner build + CG) — the
+same accounting as the reference's `total_time_preconditioner +
 total_time_cg` (src/sGDML/sgdml/solvers/iterative_solver.py:1088-1098).
 
 Prints ONE JSON line:
   {"metric": "time_to_solution_ethanol_n31482", "value": <s>,
-   "unit": "s", "vs_baseline": <48 / value>}
+   "unit": "s", "workload": "calibrated+perms", "vs_baseline": <48/value>}
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_S = 48.0  # 0.8 min, rule_of_thumb.csv row 0 (ethanol n = 31,400)
-N_TRAIN, SIG = 1166, 5.0
+N_TRAIN, SIG = 1166, 10.0
+K = int(os.environ.get("BENCH_K", "1536"))
+STRATEGY = os.environ.get("BENCH_STRATEGY", "random_scores")
+MATVEC = os.environ.get("BENCH_MATVEC", "mixed")
+APPLY = os.environ.get("BENCH_APPLY", "df64")
 
 
 def log(*a):
@@ -34,30 +55,31 @@ def main():
     jax.config.update("jax_enable_x64", True)
     # persistent compile cache is configured by the package import below
 
-    from mlff_tpu.data.synthetic import make_dataset
+    from mlff_tpu.data.synthetic import make_benchmark_dataset
     from mlff_tpu.experiments.rule_of_thumb import get_params, rule_of_thumb
     from mlff_tpu.models.gdml import Trainer
     from mlff_tpu.models.task import create_task
 
     log("devices:", jax.devices())
 
-    ds = make_dataset("ethanol", n_samples=N_TRAIN + 60, seed=11)
+    ds, perms = make_benchmark_dataset("ethanol", n_samples=N_TRAIN + 60,
+                                       seed=11)
     task = create_task(ds, N_TRAIN, ds, n_valid=50, sig=SIG,
-                       solver="cg", use_sym=False)
+                       solver="cg", perms=perms)
+    task["matvec_dtype"] = MATVEC
+    task["apply_impl"] = APPLY
     n = int(np.asarray(task["F_train"]).size)
     m, k_unity, _ = get_params("ethanol")
     k_rot = rule_of_thumb(n, k_unity, m)
     # The reference's 48 s baseline is its runtime at ITS empirically
-    # optimal k; ours likewise uses OUR measured optimum (k-sweep,
-    # tools/bench_k_sweep_31k.py: k=1536 converges in the same 122
-    # iterations as the rule-of-thumb k=2049 with a cheaper build --
-    # TPU build cost scales differently than the reference's).
-    k = 1536
-    log(f"n = {n}, rule-of-thumb k = {k_rot}, TPU-optimal k = {k}")
+    # optimal k; ours likewise uses OUR measured optimum (k-sweep on
+    # hardware, RESULTS.md).
+    log(f"n = {n}, P = {perms.shape[0]}, rule-of-thumb k = {k_rot}, "
+        f"using k = {K} ({STRATEGY}, matvec={MATVEC}, apply={APPLY})")
 
     t0 = time.perf_counter()
     model = Trainer().train(
-        task, n_columns=k, str_preconditioner="lev_random",
+        task, n_columns=K, str_preconditioner=STRATEGY,
         callback=lambda it, resid, eff: log(f"  cg it={it} resid={resid:.3e}"),
     )
     wall = time.perf_counter() - t0
@@ -69,9 +91,13 @@ def main():
         "metric": f"time_to_solution_ethanol_n{n}",
         "value": round(solver_s, 2),
         "unit": "s",
+        "workload": "calibrated+perms",
         "converged": bool(model["is_conv"]),
         "iters": int(model["solver_iters"]),
-        "k": k,
+        "k": K,
+        "strategy": STRATEGY,
+        "matvec_dtype": MATVEC,
+        "apply_impl": APPLY,
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
         "wall_total_s": round(wall, 2),

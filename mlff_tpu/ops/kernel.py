@@ -385,8 +385,98 @@ def matvec_ref_mixed(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def _matvec_ref_mixed_otf(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
+    """Mixed-precision on-the-fly matvec: the (N, M) pairwise weights are
+    recomputed per row tile (build_cache(pairwise=False), the n = 500k
+    regime) with the same centered-GEMM + f64-chunk-accumulation error
+    budget as matvec_ref_mixed.
+
+    Distances per tile are computed through three centered f32 GEMMs with
+    hi/lo operand corrections: the Gram term's absolute error lands at
+    ~2^-24 * ||Xc_tile|| * ||Xtc|| / sqrt-cancellation ~ 1e-9-grade, i.e.
+    dist (and hence exp) carries ~1e-9 absolute error — well inside the
+    matvec noise knee.  The exp/weight elementwise math runs in f32.
+    """
+    from .df64 import split_f64
+
+    hp = jax.lax.Precision.HIGHEST
+    N = cache.X.shape[0]
+    A = cache.S.shape[1]
+    D = cache.X.shape[1]
+    v3 = v.reshape(N, A, 3)
+    w64 = d_desc_dot_vec(cache.Jc, cache.S, v3)       # (N, D) f64
+    wt64 = perm_expand_w(w64, cache.P_idx)            # (M, D) f64
+    sig = cache.sig
+    c0 = 5.0 / (3.0 * sig**2)
+
+    c = jnp.mean(cache.Xq, axis=0)                    # (D,) f64
+    Xtc = cache.Xqt - c                               # (M, D) f64
+    ct_c = jnp.sum(Xtc * wt64, axis=1)                # (M,) f64
+    nb = jnp.sum(cache.Xqt * cache.Xqt, axis=1)       # (M,) f64
+    wh, wl = split_f64(wt64)
+    Xtch, Xtcl = split_f64(Xtc)
+    Xqth, Xqtl = split_f64(cache.Xqt)
+
+    tile = min(_OTF_TILE, N)
+    n_tiles = -(-N // tile)
+    Xq_pad = cache.Xq
+    if n_tiles * tile != N:
+        Xq_pad = jnp.concatenate(
+            [Xq_pad, jnp.zeros((n_tiles * tile - N, D), Xq_pad.dtype)])
+
+    def one_tile(Xq_t64):                             # (tile, D) f64
+        na = jnp.sum(Xq_t64 * Xq_t64, axis=1)
+        Xh, Xl = split_f64(Xq_t64)
+        # Gram via hi/lo-corrected f32 GEMMs (shallow D contraction)
+        g = (
+            jnp.matmul(Xh, Xqth.T, precision=hp).astype(jnp.float64)
+            + jnp.matmul(Xl, Xqth.T, precision=hp).astype(jnp.float64)
+            + jnp.matmul(Xh, Xqtl.T, precision=hp).astype(jnp.float64)
+        )
+        d2 = jnp.maximum(na[:, None] + nb[None, :] - 2.0 * g, 0.0)
+        dist = jnp.sqrt(d2)                           # (tile, M) f64
+        A_exp = c0 * jnp.exp(-dist)
+        A_exp1 = A_exp * (1.0 + dist)
+
+        Xc_t = Xq_t64 - c
+        Xch, Xcl = split_f64(Xc_t)
+        dot = (
+            jnp.matmul(Xch, wh.T, precision=hp).astype(jnp.float64)
+            + jnp.matmul(Xcl, wh.T, precision=hp).astype(jnp.float64)
+            + jnp.matmul(Xch, wl.T, precision=hp).astype(jnp.float64)
+            - ct_c[None, :]
+        )
+        G64 = A_exp * dot
+        Gh, Gl = split_f64(G64)
+        GX = (
+            _gemm_f32_chunkacc(Gh, Xtch)
+            + jnp.matmul(Gl, Xtch, precision=hp).astype(jnp.float64)
+            + jnp.matmul(Gh, Xtcl, precision=hp).astype(jnp.float64)
+        )
+        rowsum = _rowsum_f32_chunkacc(Gh) \
+            + jnp.sum(Gl.astype(jnp.float64), axis=1)
+        F1 = Xq_t64 * rowsum[:, None] - (GX + rowsum[:, None] * c[None, :])
+        A1h, A1l = split_f64(A_exp1)
+        F2 = (
+            _gemm_f32_chunkacc(A1h, wh)
+            + jnp.matmul(A1l, wh, precision=hp).astype(jnp.float64)
+            + jnp.matmul(A1h, wl, precision=hp).astype(jnp.float64)
+        )
+        return F1 - F2                                 # (tile, D) f64
+
+    F_desc = jax.lax.map(
+        one_tile, Xq_pad.reshape(n_tiles, tile, D)
+    ).reshape(-1, D)[:N]
+    out = vec_dot_d_desc(cache.Jc, cache.S, F_desc)
+    return out.reshape(-1)
+
+
+@jax.jit
 def matvec_psd_mixed(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
-    """(K + lam*I) @ v through the mixed-precision matvec."""
+    """(K + lam*I) @ v through the mixed-precision matvec (cached pairwise
+    weights when present, on-the-fly recomputation otherwise)."""
+    if cache.A_exp is None:
+        return cache.lam * v - _matvec_ref_mixed_otf(cache, v)
     return cache.lam * v - matvec_ref_mixed(cache, v)
 
 

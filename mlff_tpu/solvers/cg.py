@@ -272,14 +272,18 @@ def _pcg_drive(
         if exact_matvec is not None and (
             done or it_after - last_replace >= replace_every
         ):
-            # residual replacement + direction restart (p=0 makes the next
-            # step use p = z exactly like a fresh CG start from x)
+            # van der Vorst-style residual replacement: swap in the true
+            # residual but KEEP the search direction and rho — a p = 0
+            # direction restart here discards the Krylov space and was
+            # measured to cost 3.5x iterations at the archived n = 15,741
+            # operating point (591 vs 171), dwarfing the matvec error it
+            # was guarding against.  The replacement difference is
+            # O(matvec-error), so conjugacy degrades by the same small
+            # amount the recursion had already drifted.
             r_true = b - exact_matvec(state.x)
             resid_true = jnp.linalg.norm(r_true)
-            state = CGState(
-                x=state.x, r=r_true, p=jnp.zeros_like(b),
-                rho=jnp.asarray(1.0, b.dtype), resid=resid_true,
-                it=state.it, done=resid_true <= threshold,
+            state = state._replace(
+                r=r_true, resid=resid_true, done=resid_true <= threshold,
             )
             done = bool(state.done)
             last_replace = it_after

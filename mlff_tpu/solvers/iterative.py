@@ -272,9 +272,10 @@ def solve_iterative(
         exact_matvec = (mv_fn, cache)
         log.info("matvec: mixed precision (f32 GEMM operands, f64 residual "
                  "replacement)")
-    elif matvec_dtype == "mixed" and not use_E_cstr and cache.A_exp is not None:
+    elif matvec_dtype == "mixed" and not use_E_cstr:
         # centered + chunk-accumulated f32 matvec (ops.kernel mixed-precision
-        # notes): ~1e-7-grade accuracy at f32 MXU speed.  Residual
+        # notes): ~1e-7-grade accuracy at f32 MXU speed; the OTF variant
+        # covers pairwise=False caches (n = 500k regime).  Residual
         # replacement stays on as a correctness backstop.
         mv_fn = knl.matvec_psd_mixed
         exact_matvec = (knl.matvec_psd, cache)

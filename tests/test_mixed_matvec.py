@@ -140,3 +140,19 @@ def test_mixed_chunkacc_iteration_parity_15k():
     assert m64["is_conv"] and mmx["is_conv"]
     it64, itmx = int(m64["solver_iters"]), int(mmx["solver_iters"])
     assert itmx <= 1.15 * it64, (itmx, it64)
+
+
+def test_mixed_otf_matvec_close():
+    """The OTF mixed matvec (pairwise=False cache, the n = 500k layout)
+    matches the f64 operator within the noise knee, like the cached form."""
+    task = _task(n_train=60)
+    tr = Trainer()
+    spec, S, X, Jc, P_idx = tr.build_kernel_inputs(task)
+    cache = knl.build_cache(X, Jc, S, P_idx, 10.0, 1e-10)
+    cache_otf = knl.build_cache(X, Jc, S, P_idx, 10.0, 1e-10, pairwise=False)
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.normal(size=cache.n))
+    hi = np.asarray(knl.matvec_psd(cache, v))
+    mo = np.asarray(knl.matvec_psd_mixed(cache_otf, v))
+    rel = np.linalg.norm(mo - hi) / np.linalg.norm(hi)
+    assert rel < 3e-7, rel
