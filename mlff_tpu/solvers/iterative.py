@@ -77,7 +77,14 @@ def build_preconditioner(
 
     def _factor_precon(L):
         P = pc.woodbury_from_factor(L, lam)
-        return pc.df64_from_split(P) if apply_impl == "df64" else P
+        if apply_impl != "df64":
+            return P
+        # 3-component storage kills the frozen-quantization iteration
+        # penalty but costs 1.5x the 2-component f32 factor memory; at
+        # large (n, k) the conversion transient (f64 B + 3 f32 slices,
+        # ~20 bytes/elem) must fit the post-d2h HBM ceiling (RESULTS.md)
+        comps = 3 if P.B.size * 20 < int(8e9) else 2
+        return pc.df64_from_split(P, components=comps)
 
     if strategy == "cholesky":
         res, info_chol = pivoted_cholesky(

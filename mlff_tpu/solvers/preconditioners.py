@@ -569,7 +569,10 @@ def nystrom_preconditioner(
             B=B, W2=W2, lam=jnp.asarray(lam, B.dtype)
         )
         if apply_impl == "df64":
-            P = df64_from_split(P)
+            # 3 components unless the conversion transient (f64 B + three
+            # f32 slices, ~20 B/elem) would breach the HBM ceiling
+            comps = 3 if P.B.size * 20 < int(8e9) else 2
+            P = df64_from_split(P, components=comps)
         elif apply_impl != "xla":
             raise ValueError(f"unknown apply_impl {apply_impl!r}")
     elif method == "chol":

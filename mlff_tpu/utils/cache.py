@@ -105,7 +105,40 @@ def seed_compile_cache(cache_dir: str, seed_dir: str | None = None) -> int:
             pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))
             seed_dir = os.path.join(pkg_root, ".jax_cache")
-    if not os.path.isdir(seed_dir) or os.path.realpath(seed_dir) == os.path.realpath(cache_dir):
+    if not os.path.isdir(seed_dir):
+        # single-artifact form: the repo ships the seed as one tarball
+        # (<seed_dir>.tar.gz) instead of per-entry blobs — one object to
+        # replace per re-key event instead of a hundred loose files in git
+        # history.  Extract straight into the active cache.
+        tarball = seed_dir + ".tar.gz"
+        if os.path.isfile(tarball):
+            import tarfile
+
+            os.makedirs(cache_dir, exist_ok=True)
+            seeded = 0
+            try:
+                with tarfile.open(tarball, "r:gz") as tf:
+                    for member in tf.getmembers():
+                        name = os.path.basename(member.name)
+                        if not member.isfile() or not name:
+                            continue
+                        dst = os.path.join(cache_dir, name)
+                        if os.path.exists(dst):
+                            continue
+                        src = tf.extractfile(member)
+                        if src is None:
+                            continue
+                        with open(dst, "wb") as out:
+                            out.write(src.read())
+                        seeded += 1
+            except (OSError, tarfile.TarError):  # pragma: no cover
+                return seeded
+            if seeded:
+                log.info("compile cache seeded: %d entries from %s",
+                         seeded, tarball)
+            return seeded
+        return 0
+    if os.path.realpath(seed_dir) == os.path.realpath(cache_dir):
         return 0
 
     os.makedirs(cache_dir, exist_ok=True)

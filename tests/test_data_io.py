@@ -368,3 +368,26 @@ def test_cache_key_independent_of_cache_dir():
             jax.config.update("jax_compilation_cache_dir", old)
 
     assert opts_hash("/tmp/ckA") == opts_hash("/tmp/ckB")
+
+
+def test_seed_compile_cache_tarball(tmp_path):
+    """Single-artifact seeding: a <seed>.tar.gz at the seed location is
+    extracted into the active cache (one git object per re-key event
+    instead of a hundred loose blobs)."""
+    import tarfile
+
+    from mlff_tpu.utils.cache import seed_compile_cache
+
+    seed_src = tmp_path / "src"
+    seed_src.mkdir()
+    for i in range(3):
+        (seed_src / f"jit_f-{i}-cache").write_bytes(b"z" * 64)
+    with tarfile.open(tmp_path / "seed.tar.gz", "w:gz") as tf:
+        tf.add(seed_src, arcname=".jax_cache")
+
+    active = tmp_path / "active"
+    assert seed_compile_cache(str(active), str(tmp_path / "seed")) == 3
+    assert sorted(p.name for p in active.iterdir()) == [
+        "jit_f-0-cache", "jit_f-1-cache", "jit_f-2-cache"]
+    # idempotent
+    assert seed_compile_cache(str(active), str(tmp_path / "seed")) == 0
