@@ -14,13 +14,22 @@ of solver time at ITS empirically optimal k on a cluster GPU/CPU node
 (data/rule_of_thumb.csv row 0, `optimal_runtime_min`; see BASELINE.md).
 
 Configuration choices (ours, measured on hardware — see RESULTS.md):
-  * preconditioner 'random_scores' — on ethanol the archived curves show
-    uniform column sampling equals lev_random quality (379 vs 384 CG steps
-    at k/n = 0.049, cg_performance_n=15750), and it needs NO leverage-score
-    pre-pass — less cold-start compile/build work;
-  * mixed-precision matvec (centered f32 MXU GEMMs + f64 chunk
-    accumulation, ops/kernel.py) and the Pallas df64 Woodbury apply with
-    3-component factor storage — both iteration-neutral by measurement.
+  * preconditioner 'lev_random'.  NOT random_scores: although the archived
+    MD17 curves show uniform sampling matching lev_random on ethanol (379
+    vs 384 CG steps at k/n = 0.049), on the calibrated SYNTHETIC data
+    uniform sampling is ~5x worse (1918 vs ~386 at n = 15,741) — the
+    low-dimensional mode construction concentrates leverage on a few
+    columns that uniform sampling misses.
+  * FULL-f64 matvec and XLA Woodbury apply.  The mixed-precision matvec
+    (~5e-8 relative error) DIVERGES on this workload: the preconditioner
+    output carries components amplified by 1/lam = 1e10 wherever the
+    kernel spectrum reaches the ridge floor, so the matvec needs relative
+    accuracy ~lam/||K|| ~ 1e-12 — out of reach of f32-grade arithmetic.
+    The easy (use_sym=False, sig=5) workload never hit this because its
+    spectrum stays far above lam; measured divergence: residual 6.3e5 vs
+    ||b|| = 177 by iteration 50 (2026-08-20, k = 1536).  The df64 apply
+    adds a >4%% iteration penalty on top; both stay available via
+    BENCH_MATVEC / BENCH_APPLY for A/B runs.
 
 The reported value is the solver phase (preconditioner build + CG) — the
 same accounting as the reference's `total_time_preconditioner +
@@ -41,9 +50,9 @@ import numpy as np
 BASELINE_S = 48.0  # 0.8 min, rule_of_thumb.csv row 0 (ethanol n = 31,400)
 N_TRAIN, SIG = 1166, 10.0
 K = int(os.environ.get("BENCH_K", "1536"))
-STRATEGY = os.environ.get("BENCH_STRATEGY", "random_scores")
-MATVEC = os.environ.get("BENCH_MATVEC", "mixed")
-APPLY = os.environ.get("BENCH_APPLY", "df64")
+STRATEGY = os.environ.get("BENCH_STRATEGY", "lev_random")
+MATVEC = os.environ.get("BENCH_MATVEC", "float64")
+APPLY = os.environ.get("BENCH_APPLY", "xla")
 
 
 def log(*a):

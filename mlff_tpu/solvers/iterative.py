@@ -154,6 +154,7 @@ def build_preconditioner(
         P = pc.nystrom_preconditioner(
             spec, cache, inducing, lam, use_E_cstr=use_E_cstr,
             method=str((task or {}).get("nystrom_method", "chol_host")),
+            rank_tol=float((task or {}).get("rank_tol", 1e-10)),
             apply_impl=apply_impl,
         )
 
@@ -284,6 +285,15 @@ def solve_iterative(
         # notes): ~1e-7-grade accuracy at f32 MXU speed; the OTF variant
         # covers pairwise=False caches (n = 500k regime).  Residual
         # replacement stays on as a correctness backstop.
+        #
+        # WARNING (measured 2026-08-20, calibrated ethanol n = 31,482):
+        # when the kernel spectrum reaches the ridge floor lam, the
+        # preconditioner output carries 1/lam-amplified components and the
+        # matvec needs relative accuracy ~lam/||K|| ~ 1e-12 to keep CG
+        # descending; the ~5e-8 mixed error then DIVERGES the solve
+        # (residual 3500x ||b|| by iteration 50).  Safe only on systems
+        # whose preconditioned spectrum stays well above lam (the easy
+        # synthetic workload); NOT the production default.
         mv_fn = knl.matvec_psd_mixed
         exact_matvec = (knl.matvec_psd, cache)
         log.info("matvec: mixed precision (centered f32 GEMMs, f64 chunk "
@@ -374,6 +384,7 @@ def solve_iterative(
         P_apply = pc.nystrom_preconditioner(
             spec, cache, inducing, lam, use_E_cstr=use_E_cstr,
             method=str(task.get("nystrom_method", "chol_host")),
+            rank_tol=float(task.get("rank_tol", 1e-10)),
             apply_impl=str(task.get("apply_impl", "xla")),
         )
         if mesh is not None:

@@ -110,37 +110,67 @@ def test_baseline_iteration_time_constant():
     assert abs(d["time_cg_step"] - 0.130) < 0.02
 
 
+# archived n_train (kernel size ~= 15,741 after aspirin normalization) and
+# expected P for each molecule's benchmark dataset
+_PARITY_CASES = {
+    "ethanol": (583, 6),
+    "uracil": (437, 1),
+    "toluene": (350, 12),
+    "azobenzene": (218, 4),
+    "aspirin": (250, 6),
+    "catcher": (60, 1),
+    "nanotube": (14, 1),
+}
+
+# Molecules beyond ethanol need thousands of CG iterations at n ~= 15.7k —
+# minutes-to-hours on the CPU test backend (seconds on the chip).  The full
+# 7-molecule protocol runs via MLFF_TPU_FULL_PARITY=1 (tools/run_parity.py
+# drives it on hardware and records tools/parity_results.json).
+_heavy = pytest.mark.skipif(
+    os.environ.get("MLFF_TPU_FULL_PARITY", "") != "1",
+    reason="heavy parity case; set MLFF_TPU_FULL_PARITY=1 (see tools/run_parity.py)",
+)
+
+
 @requires_archive
 @pytest.mark.slow
-def test_iteration_count_parity_protocol_n15741():
+@pytest.mark.parametrize(
+    "molecule",
+    [mol if mol == "ethanol" else pytest.param(mol, marks=_heavy)
+     for mol in _PARITY_CASES],
+)
+def test_iteration_count_parity_protocol_n15741(molecule):
     """Iteration-count parity protocol (BASELINE.md north star).
 
-    Train the difficulty-calibrated benchmark ethanol at n = 15,741
-    (n_train = 583, the archived kernel size) with the molecule's REAL
-    permutation group (P = 6) and the archived hyperparameters
-    (sig = 10, tol 1e-4, lev_random), at two archived k/n points; our CG
-    iteration counts must land within [0.6, 1.6]x of the archived curve
-    (calibration run 2026-08: 171 vs archived 196 at k/n = 0.105, 386 vs
-    379 at k/n = 0.049).  On the real MD17 datasets the protocol is the
-    same with the band tightened to 5%; the synthetic potential shares the
-    kernel's structure and — after calibration — its difficulty, but not
-    MD17's exact spectrum.
+    Train the difficulty-calibrated benchmark dataset at the archived
+    kernel size n ~= 15,741 with the molecule's REAL permutation group and
+    the archived hyperparameters (sig = 10, tol 1e-4, lev_random), at two
+    archived k/n points; our CG iteration counts must land within
+    [0.6, 1.6]x of the archived curve (per-molecule calibration runs:
+    tools/calibration_log.json; e.g. ethanol 171 vs archived 196 at
+    k/n = 0.105, 386 vs 379 at k/n = 0.049).  On the real MD17 datasets
+    the protocol is the same with the band tightened to 5%; the synthetic
+    potential shares the kernel's structure and — after calibration — its
+    difficulty, but not MD17's exact spectrum.
     """
-    from mlff_tpu.data.synthetic import make_benchmark_dataset
+    from mlff_tpu.data.synthetic import _BENCH_DIFFICULTY, make_benchmark_dataset
     from mlff_tpu.models.gdml import Trainer
     from mlff_tpu.models.task import create_task
 
-    d = _load(ARCHIVE, "ethanol")
+    if molecule not in _BENCH_DIFFICULTY:
+        pytest.skip(f"{molecule} difficulty not calibrated yet")
+    n_train, n_perms = _PARITY_CASES[molecule]
+    d = _load(ARCHIVE, molecule)
     n_arch = d["K.shape"][0]
     perc = np.asarray(d["lev_random_percentage"], dtype=float)
     steps = np.asarray(d["lev_random_cgsteps"], dtype=float)
 
-    ds, perms = make_benchmark_dataset("ethanol", 583 + 60)
-    task = create_task(ds, 583, ds, n_valid=40, sig=10.0, solver="cg",
+    ds, perms = make_benchmark_dataset(molecule, n_train + 60)
+    task = create_task(ds, n_train, ds, n_valid=40, sig=10.0, solver="cg",
                        perms=perms)
     n = int(np.asarray(task["F_train"]).size)
-    assert n == n_arch == 15741
-    assert perms.shape[0] == 6
+    assert n == n_arch
+    assert perms.shape[0] == n_perms
 
     for target_p in (0.105, 0.049):
         idx = int(np.argmin(np.abs(perc - target_p)))

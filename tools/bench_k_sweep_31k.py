@@ -34,12 +34,29 @@ def main():
     p.add_argument("--ks", type=int, nargs="+",
                    default=[1024, 1536, 2049, 3072])
     p.add_argument("--precon", default="lev_random")
+    p.add_argument("--benchmark-data", action="store_true",
+                   help="honest workload: calibrated difficulty + real "
+                        "P = 6 perm group + sig = 10 (the bench.py config)")
+    p.add_argument("--matvec-dtype", default=None)
+    p.add_argument("--apply-impl", default=None)
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    ds = make_dataset("ethanol", n_samples=args.n_train + 60, seed=11)
-    task = create_task(ds, args.n_train, ds, n_valid=50, sig=args.sig,
-                       solver="cg", use_sym=False)
+    if args.benchmark_data:
+        from mlff_tpu.data.synthetic import make_benchmark_dataset
+
+        ds, perms = make_benchmark_dataset("ethanol", args.n_train + 60,
+                                           seed=11)
+        task = create_task(ds, args.n_train, ds, n_valid=50, sig=10.0,
+                           solver="cg", perms=perms)
+    else:
+        ds = make_dataset("ethanol", n_samples=args.n_train + 60, seed=11)
+        task = create_task(ds, args.n_train, ds, n_valid=50, sig=args.sig,
+                           solver="cg", use_sym=False)
+    if args.matvec_dtype:
+        task["matvec_dtype"] = args.matvec_dtype
+    if args.apply_impl:
+        task["apply_impl"] = args.apply_impl
     n = int(np.asarray(task["F_train"]).size)
 
     rows = []

@@ -71,6 +71,10 @@ def main():
                         "matvec)")
     p.add_argument("--nystrom-method", default=None,
                    help="eigh (default) or chol_host")
+    p.add_argument("--rank-tol", type=float, default=None,
+                   help="whitening eigenvalue clamp, relative (default 1e-10; "
+                        "raise toward the device-assembly noise floor ~1e-8 "
+                        "when K_mm is numerically rank-deficient)")
     p.add_argument("--apply-impl", default=None,
                    help="xla (default) or df64 (Pallas double-f32 kernels)")
     p.add_argument("--preconditioner", default="lev_random")
@@ -100,6 +104,8 @@ def main():
         task["matvec_dtype"] = args.matvec_dtype
     if args.nystrom_method:
         task["nystrom_method"] = args.nystrom_method
+    if args.rank_tol is not None:
+        task["rank_tol"] = args.rank_tol
     if args.apply_impl:
         task["apply_impl"] = args.apply_impl
     if args.maxiter:

@@ -41,6 +41,8 @@ jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, "/root/repo")
 
 ARCHIVE = "/root/reference/data/data/cg_performance_n=15750"
+SLOPE_ARCHIVE = ("/root/reference/data/data/rule_of_thumb/"
+                 "estimate_slope, nmax = 31 500")
 LOG = os.path.join(os.path.dirname(__file__), "calibration_log.json")
 
 # archived n_train per molecule (the 'points<N>' fragment of the filenames)
@@ -62,7 +64,26 @@ class _TolerantUnpickler(pickle.Unpickler):
         return super().find_class(module, name)
 
 
-def archived_curve(molecule: str):
+def archived_curve(molecule: str, n_train: int | None = None):
+    """(percentages, cgsteps, n) from the archive.
+
+    Default: the per-molecule k-sweep at kernel size ~15,741
+    (cg_performance_n=15750).  With ``n_train``, the per-scale lev_random
+    curve from the estimate_slope sweeps (keys '<n_train>_lev_random_*')."""
+    if n_train is not None and n_train != ARCHIVE_POINTS.get(molecule):
+        for fn in os.listdir(SLOPE_ARCHIVE):
+            if molecule not in fn:
+                continue
+            with open(os.path.join(SLOPE_ARCHIVE, fn), "rb") as f:
+                d = _TolerantUnpickler(f).load()
+            key = f"{n_train}_lev_random_percentage"
+            if key not in d:
+                continue
+            return (np.asarray(d[key], dtype=float),
+                    np.asarray(d[f"{n_train}_lev_random_cgsteps"],
+                               dtype=float),
+                    None)
+        raise FileNotFoundError(f"{molecule} n_train={n_train}")
     for fn in os.listdir(ARCHIVE):
         if molecule in fn:
             with open(os.path.join(ARCHIVE, fn), "rb") as f:
@@ -73,14 +94,15 @@ def archived_curve(molecule: str):
     raise FileNotFoundError(molecule)
 
 
-def measure(molecule: str, settings: dict, p: float, maxiter: int) -> int:
+def measure(molecule: str, settings: dict, p: float, maxiter: int,
+            n_train: int | None = None) -> int:
     """Train at break_percentage=p with the molecule's perm group; returns
     this run's CG iteration count (maxiter-capped)."""
     from mlff_tpu.data.synthetic import make_benchmark_dataset
     from mlff_tpu.models.gdml import Trainer
     from mlff_tpu.models.task import create_task
 
-    n_train = ARCHIVE_POINTS[molecule]
+    n_train = n_train or ARCHIVE_POINTS[molecule]
     ds, perms = make_benchmark_dataset(molecule, n_train + 60, **settings)
     task = create_task(ds, n_train, ds, n_valid=40, sig=10.0, solver="cg",
                        perms=perms)
@@ -90,8 +112,9 @@ def measure(molecule: str, settings: dict, p: float, maxiter: int) -> int:
     return int(model["solver_iters"])
 
 
-def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 8):
-    perc, steps, n_arch = archived_curve(molecule)
+def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 12,
+              n_train: int | None = None):
+    perc, steps, n_arch = archived_curve(molecule, n_train)
     p1 = float(perc[np.argmin(np.abs(perc - 0.049))])
     p2 = float(perc[np.argmin(np.abs(perc - 0.105))])
     t1 = float(steps[np.argmin(np.abs(perc - 0.049))])
@@ -103,21 +126,24 @@ def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 8):
     n_atoms = MOLECULES[molecule]
     base = dict(_BENCH_DIFFICULTY.get(
         molecule, dict(n_modes=min(21, 3 * n_atoms), temperature=0.25)))
+    base.pop("by_n_train", None)
 
     history = []
     T = float(base.get("temperature", 0.25))
     n_modes = int(base.get("n_modes", 21))
+    jitter = float(base.get("jitter", 0.005))
     extra = {k: v for k, v in base.items()
-             if k not in ("temperature", "n_modes")}
+             if k not in ("temperature", "n_modes", "jitter")}
 
     for round_ in range(max_rounds):
-        settings = dict(n_modes=n_modes, temperature=T, **extra)
+        settings = dict(n_modes=n_modes, temperature=T, jitter=jitter,
+                        **extra)
         # cap at 2.2x the target: a capped run reads as "too hard, back off"
         # without paying for the full overshoot (aspirin/catcher targets are
         # 5-8k iterations; uncapped overshoots cost tens of minutes on CPU)
         cap = int(min(2.2 * t1, 60000))
         t_start = time.time()
-        ours1 = measure(molecule, settings, p1, cap)
+        ours1 = measure(molecule, settings, p1, cap, n_train=n_train)
         dt = time.time() - t_start
         ratio1 = ours1 / t1
         print(f"  round {round_}: {settings} -> {ours1} @ k/n={p1} "
@@ -125,15 +151,32 @@ def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 8):
         history.append(dict(settings=settings, p=p1, ours=ours1, target=t1))
 
         if 1 - band <= ratio1 <= 1 + band:
-            ours2 = measure(molecule, settings, p2, int(min(4 * t2, 60000)))
+            ours2 = measure(molecule, settings, p2, int(min(4 * t2, 60000)),
+                            n_train=n_train)
             ratio2 = ours2 / t2
             print(f"  check @ k/n={p2}: {ours2} (target {t2:.0f}, "
                   f"ratio {ratio2:.2f})", flush=True)
             history.append(dict(settings=settings, p=p2, ours=ours2, target=t2))
-            ok = 1 - band <= ratio2 <= 1 + band
-            return dict(molecule=molecule, settings=settings, converged=ok,
-                        points=[[p1, ours1, t1], [p2, ours2, t2]],
-                        history=history)
+            if 1 - band <= ratio2 <= 1 + band:
+                return dict(molecule=molecule, settings=settings,
+                            converged=True,
+                            points=[[p1, ours1, t1], [p2, ours2, t2]],
+                            history=history)
+            # Point 1 matches but point 2 doesn't: the iteration-vs-k SLOPE
+            # is wrong, which temperature alone cannot fix (it scales both
+            # points together).  The lever is ``jitter`` — full-dimensional
+            # white noise adds a flat tail to the kernel spectrum that a
+            # rank-k preconditioner cannot capture, flattening the decay of
+            # iteration counts with k.  Too many iterations at LARGE k
+            # (ratio2 high) -> tail too heavy -> reduce jitter; too few ->
+            # increase it.  Then keep iterating (T re-tunes point 1).
+            if ratio2 > 1 + band:
+                jitter /= 2.0
+            else:
+                jitter *= 2.0
+            print(f"  slope off (ratio2 {ratio2:.2f}) -> jitter = {jitter}",
+                  flush=True)
+            continue
 
         # temperature moves iteration counts superlinearly; step on a log
         # scale, saturating n_modes upward when T alone can't reach the
@@ -146,7 +189,8 @@ def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 8):
             T /= min(4.0, ratio1 ** 1.2)
 
     return dict(molecule=molecule, settings=dict(n_modes=n_modes,
-                temperature=T, **extra), converged=False, history=history)
+                temperature=T, jitter=jitter, **extra), converged=False,
+                history=history)
 
 
 def main():
@@ -154,6 +198,11 @@ def main():
     ap.add_argument("--molecule", default=None)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--band", type=float, default=0.30)
+    ap.add_argument("--n-train", type=int, default=None,
+                    help="calibrate at this scale against the per-scale "
+                         "estimate_slope archive curve (default: the "
+                         "n~=15,741 cg_performance curve); logged as "
+                         "'<molecule>@<n_train>'")
     args = ap.parse_args()
 
     todo = (["uracil", "toluene", "azobenzene", "aspirin", "catcher",
@@ -163,8 +212,9 @@ def main():
         with open(LOG) as f:
             log = json.load(f)
     for mol in todo:
-        res = calibrate(mol, band=args.band)
-        log[mol] = res
+        res = calibrate(mol, band=args.band, n_train=args.n_train)
+        key = mol if args.n_train is None else f"{mol}@{args.n_train}"
+        log[key] = res
         with open(LOG, "w") as f:
             json.dump(log, f, indent=2)
         print(json.dumps({k: res[k] for k in ("molecule", "settings",
