@@ -43,6 +43,18 @@ from ..utils.log import get_logger
 
 log = get_logger(__name__)
 
+# Every f64 matmul on the factor-build path carries an explicit HIGHEST
+# precision.  On TPU, f64 matmuls are emulated by multi-pass f32 MXU
+# products and the DEFAULT pass count delivers only ~1e-8-grade results —
+# measured: the fused Gram `inner` differed from the exact Gram of the
+# same factor by 6.5e-7 absolute (6,500x lam), which silently destroyed
+# preconditioner quality (CG stuck at 100x||b|| while the identical
+# factorization with an exact inner converged in 648 iterations;
+# 2026-08-21, ethanol n = 31,482, k = 1536).  The assembly path
+# (ops/kernel.py) always carried HIGHEST, which is why assembled columns
+# match CPU to 2e-15 while the factor build did not.
+_HP = jax.lax.Precision.HIGHEST
+
 
 class WoodburyPreconditioner(NamedTuple):
     """P = L L^T + lam I with precomputed T = chol(lam I + L^T L)^-1 L^T.
@@ -131,7 +143,8 @@ def woodbury_split_apply(
     if P.B.size * 8 > _APPLY_CHUNK_BYTES:
         return _woodbury_split_apply_chunked(P, v)
     u = jnp.sum(P.B * v[:, None], axis=0)               # (m,)  == B^T v
-    x = P.W2 @ (P.W2.T @ u)                             # (m,)  tiny GEMVs
+    x = jnp.matmul(P.W2, jnp.matmul(P.W2.T, u, precision=_HP),
+                   precision=_HP)                             # (m,)  tiny GEMVs
     return (v - jnp.sum(P.B * x[None, :], axis=1)) / P.lam
 
 
@@ -160,7 +173,8 @@ def _woodbury_split_apply_chunked(
         fresh = (jnp.arange(chunk) >= n_full - start)
         u = u + jnp.sum(Bb * jnp.where(fresh, vb, 0.0)[:, None], axis=0)
 
-    x = P.W2 @ (P.W2.T @ u)
+    x = jnp.matmul(P.W2, jnp.matmul(P.W2.T, u, precision=_HP),
+                   precision=_HP)
 
     def pass2(i, y):
         start = jnp.minimum(i * chunk, n - chunk)
@@ -243,7 +257,8 @@ def woodbury_colblock_apply(
 ) -> jnp.ndarray:
     """lam^-1 (v - B W2 W2^T B^T v) over column blocks of B."""
     u = jnp.concatenate([_block_pass1(B, v) for B in P.Bs])
-    x = P.W2 @ (P.W2.T @ u)
+    x = jnp.matmul(P.W2, jnp.matmul(P.W2.T, u, precision=_HP),
+                   precision=_HP)
     off = 0
     y = jnp.zeros_like(v)
     for B in P.Bs:
@@ -302,7 +317,8 @@ def df64_woodbury_apply(
         v32 = vp.astype(jnp.float32)
         u = u + jnp.matmul(v32[None, :], P.Bm,
                            precision=hp)[0].astype(jnp.float64)
-    x = P.W2 @ (P.W2.T @ u)                             # small f64 GEMVs
+    x = jnp.matmul(P.W2, jnp.matmul(P.W2.T, u, precision=_HP),
+                   precision=_HP)                             # small f64 GEMVs
     y = pdf.df64_b_x(P.Bh, P.Bl, x)                     # (n_pad,) f64
     if P.Bm is not None:
         x32 = x.astype(jnp.float32)
@@ -702,6 +718,31 @@ def _nystrom_factor_split(
     t.mark("whiten+gram")
     inner = _unpack_sym(np.asarray(inner_packed), m)       # d2h m(m+1)/2
     t.mark("d2h_inner")
+    # GUARD (load-bearing, see the self-consistency note above): inner must
+    # match B's true Gram to ~lam ABSOLUTE or the (w2 + lam)^-1/2 scaling
+    # corrupts the small-eigenvalue directions and the preconditioner
+    # silently stops preconditioning.  Spot-check a few entries against a
+    # compensated (df64, ~2^-48) dot computed on device; on failure,
+    # recompute the whole Gram on host from the factor (d2h n x m — slow
+    # but correct).
+    rng_p = np.random.default_rng(0)
+    s = min(8, m)
+    ii = np.concatenate([np.arange(min(4, m)),
+                         rng_p.integers(0, m, size=s)])
+    jj = np.concatenate([np.arange(min(4, m)),
+                         rng_p.integers(0, m, size=s)])
+    exact = np.asarray(_gram_entries_df64(B_t, jnp.asarray(ii),
+                                          jnp.asarray(jj)))
+    probe_err = float(np.abs(inner[ii, jj] - exact).max())
+    t.mark("gram_probe")
+    if probe_err > max(0.1 * lam, 1e-12):
+        log.warning(
+            "device Gram failed the df64 spot check (max abs err %.2e vs "
+            "lam = %.0e): recomputing inner on host from the factor "
+            "(d2h %d x %d)", probe_err, lam, n, m)
+        B_host = np.asarray(B_t)
+        inner = B_host.T @ B_host
+        t.mark("host_gram_fallback")
     W2_h = _host_inner_isqrt(inner, lam, host_decomp)
     t.mark("chol_W2")
     W2 = _put_factor(W2_h, host_decomp)
@@ -709,6 +750,25 @@ def _nystrom_factor_split(
     t.mark("h2d_W2")
     t.report("nystrom factor stages")
     return B_t, W2
+
+
+@jax.jit
+def _gram_entries_df64(B: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray):
+    """Compensated (double-f32, ~2^-48 relative) Gram entries
+    sum_r B[r, i] * B[r, j] for index vectors ii/jj — the accuracy oracle
+    for the device Gram guard in _nystrom_factor_split.  Error ~4e-14
+    absolute at Gram scale O(10): two decades below the 1e-12 guard
+    threshold, four below the failure grade it exists to catch."""
+    from ..ops import df64 as _d
+
+    a = B[:, ii]
+    b = B[:, jj]
+    ah, al = _d.split_f64(a)
+    bh, bl = _d.split_f64(b)
+    ph, pe = _d.two_prod(ah, bh)
+    pe = pe + (ah * bl + al * bh)
+    h, low = _d.df64_sum_pairwise(ph, pe, axis=0)
+    return h.astype(jnp.float64) + low.astype(jnp.float64)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
@@ -731,10 +791,12 @@ def _whiten_colblock(
              for Kj, oj in zip(K_prev, offs_prev)]
 
     def transform(B, start, size):
-        blk = jax.lax.dynamic_slice(B, (start, 0), (size, mc)) @ W_cc
+        blk = jnp.matmul(jax.lax.dynamic_slice(B, (start, 0), (size, mc)),
+                         W_cc, precision=_HP)
         for Kj, W_jc in zip(K_prev, W_jcs):
-            blk = blk + jax.lax.dynamic_slice(
-                Kj, (start, 0), (size, Kj.shape[1])) @ W_jc
+            blk = blk + jnp.matmul(
+                jax.lax.dynamic_slice(Kj, (start, 0), (size, Kj.shape[1])),
+                W_jc, precision=_HP)
         return blk
 
     def body(i, B):
@@ -762,7 +824,7 @@ def _gram_pair(Ba: jnp.ndarray, Bb: jnp.ndarray, chunk: int) -> jnp.ndarray:
     def body(i, acc):
         Ab = jax.lax.dynamic_slice(Ba, (i * chunk, 0), (chunk, ma))
         Bb_ = jax.lax.dynamic_slice(Bb, (i * chunk, 0), (chunk, mb))
-        return acc + Ab.T @ Bb_
+        return _gram_pair_acc_safe(acc, Ab, Bb_)
 
     acc = jax.lax.fori_loop(0, n // chunk, body,
                             jnp.zeros((ma, mb), Ba.dtype))
@@ -771,7 +833,7 @@ def _gram_pair(Ba: jnp.ndarray, Bb: jnp.ndarray, chunk: int) -> jnp.ndarray:
         Ab = jax.lax.dynamic_slice(Ba, (start, 0), (chunk, ma))
         Bb_ = jax.lax.dynamic_slice(Bb, (start, 0), (chunk, mb))
         fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
-        acc = acc + jnp.where(fresh, Ab, 0.0).T @ Bb_
+        acc = _gram_pair_acc_safe(acc, jnp.where(fresh, Ab, 0.0), Bb_)
     return acc
 
 
@@ -902,6 +964,37 @@ def _nystrom_factor_eigh(
 # are 8 f32 slices of (chunk, m) with ~4 live at once — ~2 GB at m = 4096
 _GEMM_ROW_CHUNK = 4096
 
+# XLA's TPU f64-emulated matmul holds true-f64 accuracy (~3e-15 relative)
+# only up to this CONTRACTION depth; beyond it the emulation switches to a
+# cheaper pass structure and collapses to ~1e-10 relative regardless of
+# the precision setting (measured 2026-08-21: depth 1024 -> 3.3e-15,
+# 1536 -> 3.5e-11, 4096 -> 2.1e-8 rel).  Gram accumulations whose result
+# must be lam-absolute-accurate (the Woodbury inner, see
+# _nystrom_factor_split) therefore slice every contraction to this depth
+# and accumulate the partials in f64, which is exact to ~sqrt(n/depth)
+# extra rounding.
+_F64_SAFE_DEPTH = 1024
+
+
+def _gram_acc_safe(acc: jnp.ndarray, tr: jnp.ndarray) -> jnp.ndarray:
+    """acc += tr^T tr with every matmul's contraction depth capped at
+    _F64_SAFE_DEPTH (unrolled at trace time; tr rows are a static chunk)."""
+    rows = tr.shape[0]
+    for s in range(0, rows, _F64_SAFE_DEPTH):
+        blk = jax.lax.slice_in_dim(tr, s, min(s + _F64_SAFE_DEPTH, rows))
+        acc = acc + jnp.matmul(blk.T, blk, precision=_HP)
+    return acc
+
+
+def _gram_pair_acc_safe(acc, Ab, Bb):
+    """acc += Ab^T Bb, contraction depth capped at _F64_SAFE_DEPTH."""
+    rows = Ab.shape[0]
+    for s in range(0, rows, _F64_SAFE_DEPTH):
+        a = jax.lax.slice_in_dim(Ab, s, min(s + _F64_SAFE_DEPTH, rows))
+        b = jax.lax.slice_in_dim(Bb, s, min(s + _F64_SAFE_DEPTH, rows))
+        acc = acc + jnp.matmul(a.T, b, precision=_HP)
+    return acc
+
 
 @jax.jit
 def _gather_rows(K_nm: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
@@ -946,13 +1039,14 @@ def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, chunk: int):
 
     def body(i, B):
         blk = jax.lax.dynamic_slice(B, (i * chunk, 0), (chunk, m))
-        return jax.lax.dynamic_update_slice(B, blk @ W1, (i * chunk, 0))
+        return jax.lax.dynamic_update_slice(
+            B, jnp.matmul(blk, W1, precision=_HP), (i * chunk, 0))
 
     B = jax.lax.fori_loop(0, n // chunk, body, K_nm)
     if n_full != n:
         start = n - chunk
         blk = jax.lax.dynamic_slice(B, (start, 0), (chunk, m))
-        tr = blk @ W1
+        tr = jnp.matmul(blk, W1, precision=_HP)
         fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
         B = jax.lax.dynamic_update_slice(
             B, jnp.where(fresh, tr, blk), (start, 0))
@@ -983,18 +1077,18 @@ def _whiten_gram_nm_tril(K_nm: jnp.ndarray, W1: jnp.ndarray,
     def body(i, carry):
         B, acc = carry
         blk = jax.lax.dynamic_slice(B, (i * chunk, 0), (chunk, m))
-        tr = blk @ W1
+        tr = jnp.matmul(blk, W1, precision=_HP)
         return (jax.lax.dynamic_update_slice(B, tr, (i * chunk, 0)),
-                acc + tr.T @ tr)
+                _gram_acc_safe(acc, tr))
 
     B, acc = jax.lax.fori_loop(
         0, n // chunk, body, (K_nm, jnp.zeros((m, m), K_nm.dtype)))
     if n_full != n:
         start = n - chunk
         blk = jax.lax.dynamic_slice(B, (start, 0), (chunk, m))
-        tr = blk @ W1
+        tr = jnp.matmul(blk, W1, precision=_HP)
         fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
-        acc = acc + jnp.where(fresh, tr, 0.0).T @ jnp.where(fresh, tr, 0.0)
+        acc = _gram_acc_safe(acc, jnp.where(fresh, tr, 0.0))
         B = jax.lax.dynamic_update_slice(
             B, jnp.where(fresh, tr, blk), (start, 0))
     return B, acc[tril[0], tril[1]]
@@ -1009,7 +1103,7 @@ def _gram_nm(B_t: jnp.ndarray, chunk: int) -> jnp.ndarray:
 
     def body(i, acc):
         Bb = jax.lax.dynamic_slice(B_t, (i * chunk, 0), (chunk, m))
-        return acc + Bb.T @ Bb
+        return _gram_acc_safe(acc, Bb)
 
     acc = jax.lax.fori_loop(0, n // chunk, body,
                             jnp.zeros((m, m), B_t.dtype))
@@ -1017,8 +1111,7 @@ def _gram_nm(B_t: jnp.ndarray, chunk: int) -> jnp.ndarray:
         start = n - chunk
         Bb = jax.lax.dynamic_slice(B_t, (start, 0), (chunk, m))
         fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
-        Bb = jnp.where(fresh, Bb, 0.0)
-        acc = acc + Bb.T @ Bb
+        acc = _gram_acc_safe(acc, jnp.where(fresh, Bb, 0.0))
     return acc
 
 
@@ -1026,7 +1119,8 @@ def _gram_nm(B_t: jnp.ndarray, chunk: int) -> jnp.ndarray:
 def _project_factor_nm(B_t: jnp.ndarray, W2: jnp.ndarray, n_chunks: int):
     """T = W2^T B = (B_t W2)^T (m, n), row-chunked; B_t's buffer is donated."""
     n, m = B_t.shape
-    out = jax.lax.map(lambda Bb: Bb @ W2, B_t.reshape(n_chunks, -1, m))
+    out = jax.lax.map(lambda Bb: jnp.matmul(Bb, W2, precision=_HP),
+                      B_t.reshape(n_chunks, -1, m))
     return out.reshape(n, m).T
 
 
@@ -1078,7 +1172,8 @@ def _nystrom_inner_gram(B: jnp.ndarray) -> jnp.ndarray:
     """Stage 2a: the (m, m) Gram matrix B B^T — the expensive piece, run
     exactly once (retrying it with the chol cost ~50x cheaper was the
     dominant waste of the NaN-escalation ladder)."""
-    return B @ B.T
+    acc = jnp.zeros((B.shape[0], B.shape[0]), B.dtype)
+    return _gram_acc_safe(acc, B.T)
 
 
 @jax.jit

@@ -449,3 +449,37 @@ def test_dense_diagnostic_guard():
         pc.rank_k_leverage_scores(spec, fake_cache, 10)
     with pytest.raises(ValueError, match="small-n diagnostic"):
         pc.eigvec_preconditioner(spec, fake_cache, 10, 1e-10)
+
+
+def test_gram_acc_safe_matches_reference(rng):
+    """Depth-capped Gram accumulation == exact Gram (the cap exists because
+    XLA's TPU f64 matmul emulation collapses from ~3e-15 to ~1e-10 relative
+    beyond ~1024-deep contractions, measured 2026-08-21; the Woodbury inner
+    needs lam-absolute accuracy, preconditioners._F64_SAFE_DEPTH)."""
+    import jax.numpy as jnp
+
+    tr = jnp.asarray(rng.normal(size=(2817, 37)))  # > _F64_SAFE_DEPTH rows
+    acc = pc._gram_acc_safe(jnp.zeros((37, 37)), tr)
+    ref = np.asarray(tr).T @ np.asarray(tr)
+    assert np.abs(np.asarray(acc) - ref).max() < 1e-10 * np.abs(ref).max()
+
+    a = jnp.asarray(rng.normal(size=(1500, 13)))
+    b = jnp.asarray(rng.normal(size=(1500, 21)))
+    acc2 = pc._gram_pair_acc_safe(jnp.zeros((13, 21)), a, b)
+    ref2 = np.asarray(a).T @ np.asarray(b)
+    assert np.abs(np.asarray(acc2) - ref2).max() < 1e-10 * np.abs(ref2).max()
+
+
+def test_gram_entries_df64_oracle(rng):
+    """The compensated Gram-entry probe (device Gram guard oracle,
+    _nystrom_factor_split) reproduces exact f64 dot products."""
+    import jax.numpy as jnp
+
+    B = jnp.asarray(rng.normal(size=(3000, 16)))
+    ii = jnp.asarray([0, 3, 7, 15])
+    jj = jnp.asarray([0, 5, 7, 2])
+    out = np.asarray(pc._gram_entries_df64(B, ii, jj))
+    Bh = np.asarray(B)
+    ref = np.array([np.dot(Bh[:, i], Bh[:, j])
+                    for i, j in zip([0, 3, 7, 15], [0, 5, 7, 2])])
+    assert np.abs(out - ref).max() < 1e-11 * np.abs(ref).max() + 1e-13
