@@ -417,7 +417,7 @@ def _matvec_ref_mixed_otf(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
     Xtch, Xtcl = split_f64(Xtc)
     Xqth, Xqtl = split_f64(cache.Xqt)
 
-    tile = min(_OTF_TILE, N)
+    tile = _otf_tile(N, cache.Xqt.shape[0])
     n_tiles = -(-N // tile)
     Xq_pad = cache.Xq
     if n_tiles * tile != N:
@@ -484,6 +484,21 @@ def matvec_psd_mixed(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
 # ~0.6 GB each at M = 18.5k (n = 500k)
 _OTF_TILE = 4096
 
+# elements budget for one (tile, M) OTF transient: the f64 path holds ~4
+# such arrays live, each split by the f64 emulation into 8 f32 slices
+# (32 B/elem) — 3e7 elements keeps that under ~4 GB.  With P > 1 perm
+# groups M = N*P outgrows the fixed _OTF_TILE assumption (M = 112k at
+# ethanol n = 504k compiled to a 67 GB program at tile 4096).
+_OTF_TILE_BUDGET = int(3e7)
+
+
+def _otf_tile(N: int, M: int) -> int:
+    """Row-tile for the OTF matvec: bounded by both _OTF_TILE and the
+    (tile, M) transient element budget."""
+    t = max(128, min(_OTF_TILE, (_OTF_TILE_BUDGET // max(M, 1))
+                     // 128 * 128))
+    return min(t, N)
+
 
 @jax.jit
 def _matvec_ref_otf(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
@@ -505,7 +520,7 @@ def _matvec_ref_otf(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
     sig = cache.sig
     c0 = 5.0 / (3.0 * sig**2)
 
-    tile = min(_OTF_TILE, N)
+    tile = _otf_tile(N, cache.Xqt.shape[0])
     n_tiles = -(-N // tile)
     Xq_pad = cache.Xq
     if n_tiles * tile != N:  # pad the small (N, D) queries only

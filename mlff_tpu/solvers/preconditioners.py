@@ -354,6 +354,62 @@ def _split_pad_b(B, n_pad: int, m_pad: int, components: int = 3):
     return tuple(out)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _split_block_f32(B: jnp.ndarray):
+    """f64 block -> (hi, lo) f32 pair; the f64 buffer is donated (memory
+    SHRINKS per block during the colblock conversion)."""
+    from ..ops import df64 as _df64
+
+    return _df64.split_f64(B)
+
+
+def df64_from_colblocks(Bs: tuple, W2: jnp.ndarray, lam: float
+                        ) -> "DF64WoodburyPreconditioner":
+    """Convert column-blocked f64 factors to the monolithic Pallas-df64
+    (2-component) form, block by block to respect the HBM budget: each
+    2.1 GB f64 block is donated into two 1 GB f32 slices before the next
+    converts, then the slices concatenate into (n_pad, m_pad) hi/lo
+    planes (peak ~12 GB in <=4.2 GB pieces at n = 504k, k = 2048 — inside
+    the per-buffer post-d2h envelope, RESULTS.md memory model)."""
+    from ..ops import pallas_df64 as pdf
+
+    n = Bs[0].shape[0]
+    m = sum(B.shape[1] for B in Bs)
+    n_pad = -(-n // pdf.TILE_N) * pdf.TILE_N
+    m_pad = -(-m // pdf.TILE_M) * pdf.TILE_M
+    his, los = [], []
+    for B in Bs:
+        hi, lo = _split_block_f32(B)
+        his.append(hi)
+        los.append(lo)
+    del Bs
+    pad_rows = n_pad - n
+    pad_cols = m_pad - m
+
+    def assemble(pieces):
+        if pad_cols:
+            pieces = pieces + [jnp.zeros((n, pad_cols), jnp.float32)]
+        plane = jnp.concatenate(pieces, axis=1)
+        if pad_rows:
+            plane = jnp.concatenate(
+                [plane, jnp.zeros((pad_rows, m_pad), jnp.float32)])
+        return plane
+
+    Bh = assemble(his)
+    del his
+    Bh.block_until_ready()
+    Bl = assemble(los)
+    del los
+    Bl.block_until_ready()
+    if m_pad != W2.shape[0]:
+        W2 = jnp.zeros((m_pad, m_pad), W2.dtype).at[:W2.shape[0],
+                                                    :W2.shape[1]].set(W2)
+    log.info("df64 colblock conversion: 2-component (n_pad=%d, m_pad=%d)",
+             n_pad, m_pad)
+    return DF64WoodburyPreconditioner(
+        Bh=Bh, Bl=Bl, W2=W2, lam=jnp.asarray(lam, jnp.float64), Bm=None)
+
+
 def df64_from_split(P: "WoodburySplitPreconditioner", components: int = 3
                     ) -> "DF64WoodburyPreconditioner":
     """Convert a split Woodbury preconditioner to the Pallas-df64 form
@@ -562,10 +618,19 @@ def nystrom_preconditioner(
             use_E_cstr=use_E_cstr)
         t1 = _time.perf_counter()
         Bs, W2 = _pad_colblocks(Bs, W2)
+        log.info("nystrom build (colblock x%d): %.1fs", len(Bs), t1 - t0)
+        if apply_impl == "df64":
+            # At colblock scale the XLA f64 apply is unusable anyway: the
+            # compiled CG loop hoists X64Split hi/lo f32 copies of every
+            # factor block (+8 GB at n = 504k, k = 2048 — compile-time
+            # OOM).  The Pallas df64 apply consumes explicit f32 pairs
+            # (same total bytes as the f64 factor, no hidden splits);
+            # 2 components only — the third would not fit the HBM budget
+            # at exactly the sizes that need colblocks.
+            return df64_from_colblocks(Bs, W2, lam)
         if apply_impl != "xla":
             raise ValueError(
                 f"apply_impl {apply_impl!r} unsupported with column blocks")
-        log.info("nystrom build (colblock x%d): %.1fs", len(Bs), t1 - t0)
         return WoodburyColBlockPreconditioner(
             Bs=Bs, W2=W2, lam=jnp.asarray(lam, W2.dtype))
     if use_E_cstr:

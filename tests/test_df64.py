@@ -124,3 +124,30 @@ def test_df64_three_component_storage(rng):
     z_df = np.asarray(pc.df64_woodbury_apply(Pdf, v))
     rel = np.abs(z_df - z_ref).max() / np.abs(z_ref).max()
     assert rel < 1e-11, rel
+
+
+def test_df64_from_colblocks_matches_xla_apply():
+    """The colblock -> monolithic df64 (2-component) conversion applies the
+    same operator as the XLA colblock apply (to 2^-48 frozen-quantization
+    grade).  This is the n = 500k route: the XLA f64 apply at that scale
+    compile-OOMs on hoisted X64Split copies of the factor blocks."""
+    import numpy as np
+
+    from mlff_tpu.solvers import preconditioners as pc
+
+    rng = np.random.default_rng(3)
+    n, widths = 700, (130, 130, 60)
+    lam = 1e-10
+    Bs = tuple(jnp.asarray(rng.normal(size=(n, w)) / n) for w in widths)
+    m = sum(widths)
+    W2 = jnp.asarray(np.triu(rng.normal(size=(m, m))) / m)
+    Bs_p, W2_p = pc._pad_colblocks(Bs, W2)
+    P_xla = pc.WoodburyColBlockPreconditioner(
+        Bs=Bs_p, W2=W2_p, lam=jnp.asarray(lam))
+    P_df = pc.df64_from_colblocks(
+        tuple(jnp.array(B) for B in Bs_p), jnp.array(W2_p), lam)
+    v = jnp.asarray(rng.normal(size=n))
+    ref = np.asarray(P_xla(v))
+    out = np.asarray(P_df(v))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 5e-11, rel
