@@ -19,7 +19,7 @@ import numpy as np
 from .models.evaluate import evaluate, select_model, validate
 from .models.gdml import Trainer
 from .models.task import create_task, create_task_from_model
-from .utils import io
+from .utils import io, ui
 from .utils.log import get_logger
 
 log = get_logger("mlff_tpu.cli")
@@ -102,12 +102,16 @@ def cmd_train(args):
         def save_progress(model):
             io.save_model(unconv_path, _npzable(model))
 
+        prog = ui.SolverProgress(tol=float(task.get("solver_tol", 1e-4)),
+                                 label=p.stem)
         model = trainer.train(
             task,
             break_percentage=args.break_percentage,
             str_preconditioner=args.preconditioner,
             save_progr_callback=save_progress,
+            callback=prog,
         )
+        prog.close(converged=bool(model.get("is_conv", True)))
         out = p.parent / (p.stem.replace("task", "model") + ".npz")
         io.save_model(out, _npzable(model))
         unconv_path.unlink(missing_ok=True)  # reference cli.py:808-811

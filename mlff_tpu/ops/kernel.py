@@ -494,9 +494,20 @@ _OTF_TILE_BUDGET = int(3e7)
 
 def _otf_tile(N: int, M: int) -> int:
     """Row-tile for the OTF matvec: bounded by both _OTF_TILE and the
-    (tile, M) transient element budget."""
-    t = max(128, min(_OTF_TILE, (_OTF_TILE_BUDGET // max(M, 1))
-                     // 128 * 128))
+    (tile, M) transient element budget.  The 128-row floor can EXCEED the
+    budget when M > _OTF_TILE_BUDGET/128 (~234k columns, e.g. P = 6 beyond
+    n ~ 1M): warn loudly so the ensuing HBM pressure is attributable
+    instead of an opaque OOM."""
+    budget_t = (_OTF_TILE_BUDGET // max(M, 1)) // 128 * 128
+    t = max(128, min(_OTF_TILE, budget_t))
+    if budget_t < 128 and N >= 128:
+        import logging
+
+        logging.getLogger("mlff_tpu").warning(
+            "OTF matvec: 128-row tile floor exceeds the transient budget "
+            "(M = %d columns -> %.1f GB of f64-split transients vs ~4 GB "
+            "target); expect HBM pressure or OOM at this scale", M,
+            128 * M * 32 / 1e9)
     return min(t, N)
 
 

@@ -790,12 +790,15 @@ def _nystrom_factor_split(
     # compensated (df64, ~2^-48) dot computed on device; on failure,
     # recompute the whole Gram on host from the factor (d2h n x m — slow
     # but correct).
+    # probe the FULL diagonal plus one row strip (2m entries) so an
+    # emulation error localized to a few columns cannot slip between
+    # random samples; df64 dot cost is O(n m) — negligible next to the
+    # O(n m^2) Gram itself
     rng_p = np.random.default_rng(0)
-    s = min(8, m)
-    ii = np.concatenate([np.arange(min(4, m)),
-                         rng_p.integers(0, m, size=s)])
-    jj = np.concatenate([np.arange(min(4, m)),
-                         rng_p.integers(0, m, size=s)])
+    ii = np.concatenate([np.arange(m), np.zeros(m, dtype=np.int64),
+                         rng_p.integers(0, m, size=min(8, m))])
+    jj = np.concatenate([np.arange(m), np.arange(m),
+                         rng_p.integers(0, m, size=min(8, m))])
     exact = np.asarray(_gram_entries_df64(B_t, jnp.asarray(ii),
                                           jnp.asarray(jj)))
     probe_err = float(np.abs(inner[ii, jj] - exact).max())
@@ -1043,21 +1046,48 @@ _F64_SAFE_DEPTH = 1024
 
 def _gram_acc_safe(acc: jnp.ndarray, tr: jnp.ndarray) -> jnp.ndarray:
     """acc += tr^T tr with every matmul's contraction depth capped at
-    _F64_SAFE_DEPTH (unrolled at trace time; tr rows are a static chunk)."""
+    _F64_SAFE_DEPTH.  Full-depth blocks run in a fori_loop (compile time
+    stays O(1) in the row count — the trace-unrolled form compiled ~74
+    slices at n = 75k); the ragged tail is one static extra matmul."""
     rows = tr.shape[0]
-    for s in range(0, rows, _F64_SAFE_DEPTH):
-        blk = jax.lax.slice_in_dim(tr, s, min(s + _F64_SAFE_DEPTH, rows))
+    nfull = rows // _F64_SAFE_DEPTH
+    if nfull >= 2:
+        def body(i, a):
+            blk = jax.lax.dynamic_slice_in_dim(
+                tr, i * _F64_SAFE_DEPTH, _F64_SAFE_DEPTH)
+            return a + jnp.matmul(blk.T, blk, precision=_HP)
+
+        acc = jax.lax.fori_loop(0, nfull, body, acc)
+    elif nfull:
+        blk = jax.lax.slice_in_dim(tr, 0, _F64_SAFE_DEPTH)
+        acc = acc + jnp.matmul(blk.T, blk, precision=_HP)
+    if rows > nfull * _F64_SAFE_DEPTH:
+        blk = jax.lax.slice_in_dim(tr, nfull * _F64_SAFE_DEPTH, rows)
         acc = acc + jnp.matmul(blk.T, blk, precision=_HP)
     return acc
 
 
 def _gram_pair_acc_safe(acc, Ab, Bb):
-    """acc += Ab^T Bb, contraction depth capped at _F64_SAFE_DEPTH."""
+    """acc += Ab^T Bb, contraction depth capped at _F64_SAFE_DEPTH (same
+    fori_loop-plus-static-tail structure as _gram_acc_safe)."""
     rows = Ab.shape[0]
-    for s in range(0, rows, _F64_SAFE_DEPTH):
-        a = jax.lax.slice_in_dim(Ab, s, min(s + _F64_SAFE_DEPTH, rows))
-        b = jax.lax.slice_in_dim(Bb, s, min(s + _F64_SAFE_DEPTH, rows))
-        acc = acc + jnp.matmul(a.T, b, precision=_HP)
+    nfull = rows // _F64_SAFE_DEPTH
+    if nfull >= 2:
+        def body(i, a):
+            s = i * _F64_SAFE_DEPTH
+            ab = jax.lax.dynamic_slice_in_dim(Ab, s, _F64_SAFE_DEPTH)
+            bb = jax.lax.dynamic_slice_in_dim(Bb, s, _F64_SAFE_DEPTH)
+            return a + jnp.matmul(ab.T, bb, precision=_HP)
+
+        acc = jax.lax.fori_loop(0, nfull, body, acc)
+    elif nfull:
+        a0 = jax.lax.slice_in_dim(Ab, 0, _F64_SAFE_DEPTH)
+        b0 = jax.lax.slice_in_dim(Bb, 0, _F64_SAFE_DEPTH)
+        acc = acc + jnp.matmul(a0.T, b0, precision=_HP)
+    if rows > nfull * _F64_SAFE_DEPTH:
+        a1 = jax.lax.slice_in_dim(Ab, nfull * _F64_SAFE_DEPTH, rows)
+        b1 = jax.lax.slice_in_dim(Bb, nfull * _F64_SAFE_DEPTH, rows)
+        acc = acc + jnp.matmul(a1.T, b1, precision=_HP)
     return acc
 
 

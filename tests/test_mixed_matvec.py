@@ -154,7 +154,12 @@ def test_mixed_chunkacc_honest_at_15k():
         tr = Trainer()
         spec, S, X, Jc, P_idx = tr.build_kernel_inputs(task)
         y, y_std, _ = tr.labels(task)
-        cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]), 1e-10)
+        # rebuild the EXACT solved operator: the CG path bumps the task's
+        # ridge to Trainer.CG_LAM — read it from the trained model rather
+        # than hard-coding, so a future ridge-policy change keeps this
+        # residual check honest
+        cache = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]),
+                                float(mmx["lam"]))
         x = jnp.asarray(-np.asarray(mmx["alphas_F"]))
         resid = np.linalg.norm(
             np.asarray(knl.matvec_psd(cache, x)) - y
