@@ -10,34 +10,35 @@ ethanol at kernel size n = 31,482 (n_train = 1166, d = 9) with
     M = N * P per-iteration matvec workload, reference predict.py:420-447),
   * the paper's sig = 10 and tol = 1e-4,
 trained to convergence.  The reference's recorded optimum is 0.8 min = 48 s
-of solver time at ITS empirically optimal k on a cluster GPU/CPU node
-(data/rule_of_thumb.csv row 0, `optimal_runtime_min`; see BASELINE.md).
+on a cluster GPU/CPU node (data/rule_of_thumb.csv row 0,
+`optimal_runtime_min`; see BASELINE.md).
+
+ACCOUNTING (round-4 restatement, scope-matched to the reference).  The
+reference's 48 s is `total_time_solve` — the whole `Iterative.solve` call,
+INCLUDING its kernel-operator init (plot_data.py:741,758 over
+create_data.py:146-148; iterative_solver.py:633,1088-1098).  The reported
+``value`` here is therefore kernel-cache build + preconditioner build + CG:
+everything from raw descriptors to converged alphas.  What the reference's
+number does NOT contain is Python/process startup — and on this rig the
+axon TPU tunnel adds a PER-PROCESS first-large-dispatch stall measured at
+0.2 s-650 s for the SAME warm-cache dispatch (server-side executable load/
+contention; TODO.md round-3 notes).  The bench therefore front-loads that
+stall into an explicitly-timed, problem-independent WARM-UP (three dummy
+dispatches touching the f32/f64/tiny paths; tools/probe_tunnel_tax.py shows
+the subsequent real dispatches then run at compute speed) and reports it as
+``tunnel_warmup_s`` — inside ``wall_total_s``, outside ``value``, exactly
+as the reference's number excludes its own CUDA-context/import costs.
 
 Configuration choices (ours, measured on hardware — see RESULTS.md):
-  * preconditioner 'lev_random'.  NOT random_scores: although the archived
-    MD17 curves show uniform sampling matching lev_random on ethanol (379
-    vs 384 CG steps at k/n = 0.049), on the calibrated SYNTHETIC data
-    uniform sampling is ~5x worse (1918 vs ~386 at n = 15,741) — the
-    low-dimensional mode construction concentrates leverage on a few
-    columns that uniform sampling misses.
-  * FULL-f64 matvec and XLA Woodbury apply.  The mixed-precision matvec
-    (~5e-8 relative error) DIVERGES on this workload: the preconditioner
-    output carries components amplified by 1/lam = 1e10 wherever the
-    kernel spectrum reaches the ridge floor, so the matvec needs relative
-    accuracy ~lam/||K|| ~ 1e-12 — out of reach of f32-grade arithmetic.
-    The easy (use_sym=False, sig=5) workload never hit this because its
-    spectrum stays far above lam; measured divergence: residual 6.3e5 vs
-    ||b|| = 177 by iteration 50 (2026-08-20, k = 1536).  The df64 apply
-    adds a >4%% iteration penalty on top; both stay available via
-    BENCH_MATVEC / BENCH_APPLY for A/B runs.
+  * preconditioner 'lev_random' (uniform sampling is ~5x worse on the
+    calibrated synthetic data; archived-MD17 ethanol shows them equal).
+  * FULL-f64 matvec and XLA Woodbury apply by default; BENCH_MATVEC can
+    select 'mixed' (diverges on this workload — kept for A/B), or 'ozaki'
+    (exact-slice df64-grade GEMMs, ops/ozaki.py).
 
-The reported value is the solver phase (preconditioner build + CG) — the
-same accounting as the reference's `total_time_preconditioner +
-total_time_cg` (src/sGDML/sgdml/solvers/iterative_solver.py:1088-1098).
-
-Prints ONE JSON line:
-  {"metric": "time_to_solution_ethanol_n31482", "value": <s>,
-   "unit": "s", "workload": "calibrated+perms", "vs_baseline": <48/value>}
+Prints ONE JSON line, e.g.:
+  {"metric": "time_to_solution_ethanol_n31482", "value": <s>, "unit": "s",
+   "vs_baseline": <48/value>, "wall_total_s": <s>, "vs_baseline_wall": ...}
 """
 
 import json
@@ -59,6 +60,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def warmup_tunnel():
+    """Problem-independent dummy dispatches that absorb the per-process
+    first-large-dispatch stall of the axon tunnel (see module docstring).
+    Returns elapsed seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.ones(8) + 1.0)
+    a32 = jnp.ones((4096, 4096), jnp.float32)
+    jax.block_until_ready(jax.jit(jnp.matmul)(a32, a32))
+    a64 = jnp.ones((2048, 2048), jnp.float64)
+    jax.block_until_ready(jax.jit(lambda x: x @ x)(a64))
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -70,9 +87,12 @@ def main():
     from mlff_tpu.models.task import create_task
 
     log("devices:", jax.devices())
+    t_warm = warmup_tunnel()
+    log(f"[INFO] tunnel warmup (dummy dispatches): {t_warm:.1f}s")
 
+    t_setup0 = time.perf_counter()
     ds, perms = make_benchmark_dataset("ethanol", n_samples=N_TRAIN + 60,
-                                       seed=11)
+                                       seed=11, n_train=N_TRAIN)
     task = create_task(ds, N_TRAIN, ds, n_valid=50, sig=SIG,
                        solver="cg", perms=perms)
     task["matvec_dtype"] = MATVEC
@@ -85,20 +105,26 @@ def main():
     # hardware, RESULTS.md).
     log(f"n = {n}, P = {perms.shape[0]}, rule-of-thumb k = {k_rot}, "
         f"using k = {K} ({STRATEGY}, matvec={MATVEC}, apply={APPLY})")
+    t_setup = time.perf_counter() - t_setup0
 
     t0 = time.perf_counter()
     model = Trainer().train(
         task, n_columns=K, str_preconditioner=STRATEGY,
         callback=lambda it, resid, eff: log(f"  cg it={it} resid={resid:.3e}"),
     )
-    wall = time.perf_counter() - t0
+    t_train = time.perf_counter() - t0
     t_pre = float(model.get("total_time_preconditioner", np.nan))
     t_cg = float(model.get("total_time_cg", np.nan))
-    solver_s = t_pre + t_cg
+    t_cache = float(model.get("cache_build_s", np.nan))
+    t_finalize = float(model.get("finalize_s", np.nan))
+    # scope-matched to the reference's total_time_solve: operator init
+    # (cache build) + preconditioner + CG
+    solve_s = (t_cache if np.isfinite(t_cache) else 0.0) + t_pre + t_cg
+    wall = t_warm + t_setup + t_train
 
     print(json.dumps({
         "metric": f"time_to_solution_ethanol_n{n}",
-        "value": round(solver_s, 2),
+        "value": round(solve_s, 2),
         "unit": "s",
         "workload": "calibrated+perms",
         "converged": bool(model["is_conv"]),
@@ -107,10 +133,14 @@ def main():
         "strategy": STRATEGY,
         "matvec_dtype": MATVEC,
         "apply_impl": APPLY,
+        "t_cache_build_s": round(t_cache, 2) if np.isfinite(t_cache) else None,
         "t_preconditioner_s": round(t_pre, 2),
         "t_cg_s": round(t_cg, 2),
+        "t_finalize_s": round(t_finalize, 2) if np.isfinite(t_finalize) else None,
+        "tunnel_warmup_s": round(t_warm, 2),
         "wall_total_s": round(wall, 2),
-        "vs_baseline": round(BASELINE_S / solver_s, 2),
+        "vs_baseline": round(BASELINE_S / solve_s, 2),
+        "vs_baseline_wall": round(BASELINE_S / wall, 2),
     }))
 
 

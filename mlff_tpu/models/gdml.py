@@ -177,7 +177,8 @@ class Trainer:
                 pairwise=self._pairwise_fits(X.shape[0], P_idx.shape[0]),
             )
             jax.block_until_ready(cache.Xqt)
-            log.info("kernel cache build: %.1fs", time.perf_counter() - t_cache)
+            cache_build_s = time.perf_counter() - t_cache
+            log.info("kernel cache build: %.1fs", cache_build_s)
             res = solve_iterative(
                 spec, cache, task, y, y_std,
                 break_percentage=break_percentage,
@@ -195,6 +196,7 @@ class Trainer:
             num_iters, resid = res.num_iters, res.resid
             inducing = res.inducing_pts_idxs
             info_solver = res.info
+            info_solver["cache_build_s"] = cache_build_s
             if not res.is_conv:
                 log.warning(
                     "Iterative solver did not converge; continuing with the "
@@ -262,7 +264,9 @@ class Trainer:
             else:
                 model["c"] = c
 
-        log.info("model finalize: %.1fs", time.perf_counter() - t_model)
+        finalize_s = time.perf_counter() - t_model
+        model["finalize_s"] = finalize_s
+        log.info("model finalize: %.1fs", finalize_s)
         if self.return_K and K_dense is not None:
             return model, K_dense, alphas_psd
         return model

@@ -480,6 +480,83 @@ def matvec_psd_mixed(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
     return cache.lam * v - matvec_ref_mixed(cache, v)
 
 
+# ---------------------------------------------------------------------------
+# Ozaki exact-slice matvec (~2^-48-grade GEMMs at native bf16 MXU speed)
+# ---------------------------------------------------------------------------
+#
+# The route between "f64 emulation is 10-60x too slow" and "f32-grade
+# accuracy diverges CG at the lam floor" (the measured round-3 negative
+# result): replace the three per-iteration (N, M)-shaped GEMMs with
+# ops.ozaki's error-free digit-slice products.  Result accuracy ~2^-48
+# relative to operand scale — inside the ~1e-12 lam-floor bound — at ~21
+# native bf16 MXU passes per GEMM.  The iteration-invariant operands
+# (Xq, Xqt, A_exp1) are sliced ONCE at solver setup (OzakiMatvecState);
+# each iteration slices only its own wt (M, D) and G (N, M).
+# Everything outside the GEMMs (Jacobian contractions, elementwise
+# exp-weight products, row sums, lam*v) stays f64 exactly as in matvec_ref.
+
+
+class OzakiMatvecState(NamedTuple):
+    """KernelCache + pre-sliced digit decompositions of the
+    iteration-invariant GEMM operands (a pytree — rides into the compiled
+    CG loop as an argument, like the plain cache)."""
+
+    cache: KernelCache
+    Xq_sl: tuple    # slice_digits(Xq, axis=1):    GEMM1 left, contraction D
+    Xqt_sl: tuple   # slice_digits(Xqt, axis=0):   GEMM2 right, contraction M
+    Ae1_sl: tuple   # slice_digits(A_exp1, axis=1) GEMM3 left, contraction M
+
+
+def ozaki_matvec_state(cache: KernelCache) -> OzakiMatvecState:
+    """Build the once-per-solve sliced operand state (~6 bf16 digit copies
+    of each operand: +1.5x the f64 operand bytes)."""
+    from . import ozaki
+
+    assert cache.A_exp1 is not None, \
+        "ozaki matvec needs the pairwise cache (build_cache(pairwise=True))"
+    return OzakiMatvecState(
+        cache=cache,
+        Xq_sl=ozaki.slice_digits(cache.Xq, axis=1),
+        Xqt_sl=ozaki.slice_digits(cache.Xqt, axis=0),
+        Ae1_sl=ozaki.slice_digits(cache.A_exp1, axis=1),
+    )
+
+
+@jax.jit
+def matvec_ref_ozaki(state: OzakiMatvecState, v: jnp.ndarray) -> jnp.ndarray:
+    """K_ref @ v with exact-slice GEMMs: ~2^-48-grade (vs matvec_ref's true
+    f64), no f64 MXU emulation in the hot products."""
+    from . import ozaki
+
+    cache = state.cache
+    N = cache.X.shape[0]
+    A = cache.S.shape[1]
+    v3 = v.reshape(N, A, 3)
+    w = d_desc_dot_vec(cache.Jc, cache.S, v3)        # (N, D) f64
+    wt = perm_expand_w(w, cache.P_idx)               # (M, D) f64
+    ct = jnp.sum(cache.Xqt * wt, axis=1)             # (M,)  f64
+    # GEMM1: dot = Xq @ wt^T  (contraction D)
+    wtT_sl = ozaki.slice_digits(wt.T, axis=0)
+    dot = ozaki.gemm_presliced(state.Xq_sl, wtT_sl) - ct[None, :]
+    G = cache.A_exp * dot                            # f64 elementwise
+    # GEMM2: G @ Xqt          (contraction M)
+    G_sl = ozaki.slice_digits(G, axis=1)
+    F1 = cache.Xq * jnp.sum(G, axis=1, keepdims=True) \
+        - ozaki.gemm_presliced(G_sl, state.Xqt_sl)
+    # GEMM3: A_exp1 @ wt      (contraction M)
+    wt_sl = ozaki.slice_digits(wt, axis=0)
+    F2 = ozaki.gemm_presliced(state.Ae1_sl, wt_sl)
+    F_desc = F1 - F2
+    out = vec_dot_d_desc(cache.Jc, cache.S, F_desc)
+    return out.reshape(-1)
+
+
+@jax.jit
+def matvec_psd_ozaki(state: OzakiMatvecState, v: jnp.ndarray) -> jnp.ndarray:
+    """(K + lam*I) @ v on the Ozaki sliced operator."""
+    return state.cache.lam * v - matvec_ref_ozaki(state, v)
+
+
 # row-tile for the on-the-fly matvec: (tile, M) pairwise transients,
 # ~0.6 GB each at M = 18.5k (n = 500k)
 _OTF_TILE = 4096

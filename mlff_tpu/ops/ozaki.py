@@ -1,0 +1,134 @@
+"""Ozaki-style exact-slice GEMM: ~2^-48-grade matmuls from native-speed
+bf16 MXU passes.
+
+WHY.  TPU v5e has no f64 unit: XLA emulates f64 GEMMs by many-way operand
+splitting (~10-60x f32 cost, worse on skinny shapes) — the dominant cost of
+the production CG loop (RESULTS.md).  Plain f32 (even HIGHEST, 6-pass bf16)
+accumulates at ~2^-24 relative, which DIVERGES CG on the calibrated
+workload: when the kernel spectrum reaches the ridge floor lam = 1e-10, the
+preconditioner output carries 1/lam-amplified components and the matvec
+needs ~1e-12 relative accuracy (the lam-floor bound, measured round 3).
+The route between those two regimes is an EXACT-ARITHMETIC splitting: slice
+each f64 operand into small fixed-point digits such that every MXU product
+and every in-segment f32 accumulation is EXACT, then recombine the few
+rounded quantities in f64.  Error is then only the slicing truncation,
+~2^-(8s) relative to the row/column scale — 2^-48 at s = 6 — independent of
+the contraction depth.
+
+HOW (per GEMM C = A @ B):
+  * scale rows of A (cols of B) by their max-abs power of two -> |x| <= 1;
+  * extract s = 6 fixed-point digits of 8 bits each by repeated
+    multiply-by-256 + round-to-nearest: every digit is an INTEGER in
+    [-256, 256], exactly representable in bf16 (8-bit significand);
+  * for each digit pair (i, j) with i + j < s: a bf16 x bf16 -> f32 batched
+    GEMM over contraction segments of 256.  Digit products are integers
+    <= 2^16 and a 256-deep integer sum stays <= 2^24 — both EXACT in the
+    MXU's f32 accumulator;
+  * accumulate the segment partials and the 21 digit-pair terms in f64 with
+    their 2^-8(i+j+2) grid weights, and apply the row/col scales.
+
+Cost: 21 native bf16 MXU passes ~= 3.5x one f32-HIGHEST GEMM — far below
+the f64 emulation — plus O(s n K) VPU work to slice (cacheable for
+iteration-invariant operands; see ops.kernel.matvec caches).
+
+References: Ozaki, Ogita, Oishi & Rump, "Error-free transformations of
+matrix multiplication" (Numer. Algorithms 2012); public technique, no
+reference-code counterpart (the reference runs native f64, torchtools.py
+hot loop 172-272).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# digits of 8 bits each: 6 -> ~2^-48 (df64 grade)
+DIGITS = 6
+_RADIX = 256.0
+# contraction segment: 256-deep exact f32 integer accumulation (<= 2^24)
+_SEG = 256
+
+
+def _pow2_scale(m: jnp.ndarray) -> jnp.ndarray:
+    """Smallest power of two >= m (elementwise), 1.0 where m == 0."""
+    safe = jnp.where(m > 0, m, 1.0)
+    e = jnp.ceil(jnp.log2(safe))
+    return jnp.where(m > 0, jnp.exp2(e), 1.0)
+
+
+def slice_digits(X: jnp.ndarray, axis: int, s: int = DIGITS):
+    """f64 -> (scale, digits): X = scale * sum_t digits[t] * 256^-(t+1) + err,
+    |err| <= scale * 2^-(8s) (half-ulp of the last digit), with ``scale``
+    the per-row max-abs power of two over ``axis`` (kept with its singleton
+    axis) and each digit an integer-valued bf16 array in [-256, 256]."""
+    m = jnp.max(jnp.abs(X), axis=axis, keepdims=True)
+    scale = _pow2_scale(m)
+    r = X / scale
+    digits = []
+    for _ in range(s):
+        r = r * _RADIX
+        q = jnp.rint(r)
+        digits.append(q.astype(jnp.bfloat16))
+        r = r - q
+    return scale, digits
+
+
+def _seg_matmul(a: jnp.ndarray, b: jnp.ndarray, n_seg: int) -> jnp.ndarray:
+    """Exact digit-pair product sum: a (n, K) x b (K, m) bf16 integer
+    digits -> f64 (n, m), f32-accumulated per 256-deep segment (exact) and
+    f64-accumulated across segments."""
+    n, K = a.shape
+    m = b.shape[1]
+    if n_seg == 1:
+        p = jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        return p.astype(jnp.float64)
+    a3 = a.reshape(n, n_seg, _SEG).transpose(1, 0, 2)
+    b3 = b.reshape(n_seg, _SEG, m)
+    p = jnp.matmul(a3, b3, preferred_element_type=jnp.float32)  # (S, n, m)
+    return jnp.sum(p.astype(jnp.float64), axis=0)
+
+
+def _pad_K(X: jnp.ndarray, axis: int, K_pad: int) -> jnp.ndarray:
+    pad = [(0, 0)] * X.ndim
+    pad[axis] = (0, K_pad - X.shape[axis])
+    return jnp.pad(X, pad)
+
+
+def gemm(A: jnp.ndarray, B: jnp.ndarray, s: int = DIGITS) -> jnp.ndarray:
+    """C = A @ B for f64 A (n, K), B (K, m) with ~2^-(8s)-grade accuracy at
+    s*(s+1)/2 native bf16 MXU passes."""
+    sA, dA = slice_digits(A, axis=1, s=s)
+    sB, dB = slice_digits(B, axis=0, s=s)
+    return gemm_presliced((sA, dA), (sB, dB), s=s)
+
+
+def gemm_presliced(A_sl, B_sl, s: int = DIGITS) -> jnp.ndarray:
+    """gemm() on operands already run through slice_digits — the hot-loop
+    form: iteration-invariant operands (kernel caches) slice ONCE and every
+    CG iteration pays only its own side's slicing."""
+    sA, dA = A_sl
+    sB, dB = B_sl
+    K = dA[0].shape[1]
+    n_seg = -(-K // _SEG) if K > _SEG else 1
+    K_pad = n_seg * _SEG if n_seg > 1 else K
+    if K_pad != K:
+        dA = [_pad_K(a, 1, K_pad) for a in dA]
+        dB = [_pad_K(b, 0, K_pad) for b in dB]
+    acc = None
+    for w in range(s):
+        # all digit pairs on grid 256^-(w+2): their f64 weights are equal,
+        # so sum the pair partials before weighting
+        part = None
+        for i in range(w + 1):
+            p = _seg_matmul(dA[i], dB[w - i], n_seg)
+            part = p if part is None else part + p
+        term = part * (_RADIX ** -(w + 2))
+        acc = term if acc is None else acc + term
+    return sA * acc * sB
+
+
+def matmat(A: jnp.ndarray, B: jnp.ndarray, s: int = DIGITS) -> jnp.ndarray:
+    """Alias of gemm (naming symmetry with ops.kernel.matmat_psd)."""
+    return gemm(A, B, s=s)

@@ -280,6 +280,16 @@ def solve_iterative(
         exact_matvec = (mv_fn, cache)
         log.info("matvec: mixed precision (f32 GEMM operands, f64 residual "
                  "replacement)")
+    elif matvec_dtype == "ozaki" and not use_E_cstr:
+        # exact-slice df64-grade GEMMs (ops.ozaki): ~2^-48 matvec accuracy
+        # — INSIDE the lam-floor bound that kills the f32-grade paths — at
+        # native bf16 MXU speed.  Residual replacement stays on as a
+        # correctness backstop (one f64 matvec per ~50 iterations).
+        mv_fn = knl.matvec_psd_ozaki
+        mv_cache = knl.ozaki_matvec_state(cache)
+        exact_matvec = (knl.matvec_psd, cache)
+        log.info("matvec: ozaki exact-slice (df64-grade bf16 GEMMs, f64 "
+                 "residual replacement)")
     elif matvec_dtype == "mixed" and not use_E_cstr:
         # centered + chunk-accumulated f32 matvec (ops.kernel mixed-precision
         # notes): ~1e-7-grade accuracy at f32 MXU speed; the OTF variant

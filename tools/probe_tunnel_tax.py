@@ -20,8 +20,11 @@ Usage: python tools/probe_tunnel_tax.py  (writes one JSON line to stdout)
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def t(label, fn, out):
