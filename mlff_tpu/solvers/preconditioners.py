@@ -790,15 +790,13 @@ def _nystrom_factor_split(
     # compensated (df64, ~2^-48) dot computed on device; on failure,
     # recompute the whole Gram on host from the factor (d2h n x m — slow
     # but correct).
-    # probe the FULL diagonal plus one row strip (2m entries) so an
-    # emulation error localized to a few columns cannot slip between
-    # random samples; df64 dot cost is O(n m) — negligible next to the
+    # probe the FULL diagonal (every column covered — an emulation error
+    # localized to a few columns cannot slip between random samples) plus a
+    # few random cross entries; df64 dot cost is O(n m) — small next to the
     # O(n m^2) Gram itself
     rng_p = np.random.default_rng(0)
-    ii = np.concatenate([np.arange(m), np.zeros(m, dtype=np.int64),
-                         rng_p.integers(0, m, size=min(8, m))])
-    jj = np.concatenate([np.arange(m), np.arange(m),
-                         rng_p.integers(0, m, size=min(8, m))])
+    ii = np.concatenate([np.arange(m), rng_p.integers(0, m, size=min(8, m))])
+    jj = np.concatenate([np.arange(m), rng_p.integers(0, m, size=min(8, m))])
     exact = np.asarray(_gram_entries_df64(B_t, jnp.asarray(ii),
                                           jnp.asarray(jj)))
     probe_err = float(np.abs(inner[ii, jj] - exact).max())

@@ -1,0 +1,163 @@
+"""Per-molecule honest-workload table at the paper's n = 31,400 scale.
+
+One row per molecule: difficulty-CALIBRATED synthetic data + the REAL
+permutation group (the bench.py workload protocol), solved to tol 1e-4 at
+each k of a small sweep; the best solver time is the row.  Reference
+comparison: data/rule_of_thumb.csv rows 0-6 `optimal_runtime_min` — the
+reference's own per-molecule empirical optimum at this scale.
+
+All molecules run in ONE process so the axon tunnel's random per-dispatch
+stalls (TODO.md) are paid once, not once per row; row times are
+scope-matched (cache build [warm re-measure] + preconditioner + CG).
+
+Usage:
+  python tools/bench_molecule_table.py [molecules...] [--k-list 1536,2048]
+Results append to tools/molecule_table.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "molecule_table.json")
+
+# reference optimal minutes + optimal k at n = 31,400 (rule_of_thumb.csv
+# rows 0-6: optimal_runtime_min, optimal_columns)
+REFERENCE = {
+    "ethanol": (0.8, 608), "uracil": (0.6, 1061), "toluene": (1.2, 3231),
+    "aspirin": (4.5, 3231), "azobenzene": (2.3, 1851),
+    "catcher": (4.9, 3226), "nanotube": (17.9, 9731),
+}
+# per-molecule k sweeps (fractions of n): bracket the reference's optimum
+# ratio and our measured ethanol optimum (k/n ~ 4.9%)
+DEFAULT_KFRAC = {
+    "ethanol": (0.030, 0.049), "uracil": (0.034, 0.049),
+    "toluene": (0.049, 0.103), "aspirin": (0.049, 0.103),
+    "azobenzene": (0.049, 0.059), "catcher": (0.049, 0.103),
+    "nanotube": (0.103, 0.179),
+}
+
+
+def run_one(mol: str, k: int, warm_cache_s: dict):
+    import jax
+    from mlff_tpu.data.synthetic import MOLECULES, make_benchmark_dataset
+    from mlff_tpu.models.gdml import CG_LAM, Trainer
+    from mlff_tpu.models.task import create_task
+    from mlff_tpu.ops import kernel as knl
+
+    d = MOLECULES[mol]
+    n_train = max(2, round(31400 / (3 * d)))
+    ds, perms = make_benchmark_dataset(mol, n_samples=n_train + 60, seed=11,
+                                       n_train=n_train)
+    task = create_task(ds, n_train, ds, n_valid=50, sig=10.0, solver="cg",
+                       perms=perms)
+    n = int(np.asarray(task["F_train"]).size)
+    t0 = time.perf_counter()
+    model = Trainer().train(task, n_columns=k,
+                            str_preconditioner="lev_random")
+    wall = time.perf_counter() - t0
+    t_pre = float(model.get("total_time_preconditioner", np.nan))
+    t_cg = float(model.get("total_time_cg", np.nan))
+    t_cache_cold = float(model.get("cache_build_s", np.nan))
+
+    # warm re-measure of the operator init, once per molecule (shape-keyed):
+    # the cold build rides the tunnel's random stall (see bench.py)
+    if mol not in warm_cache_s:
+        tr = Trainer()
+        spec, S, X, Jc, P_idx = tr.build_kernel_inputs(task)
+        jax.block_until_ready(X)
+        t0c = time.perf_counter()
+        c2 = knl.build_cache(
+            X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
+            R=tr._square_R(task, spec, P_idx),
+            pairwise=tr._pairwise_fits(X.shape[0], P_idx.shape[0]))
+        jax.block_until_ready(c2.Xqt)
+        warm_cache_s[mol] = time.perf_counter() - t0c
+        del c2
+    t_cache = warm_cache_s[mol]
+
+    return {
+        "molecule": mol, "n": n, "P": int(perms.shape[0]), "k": k,
+        "k_over_n_pct": round(100.0 * k / n, 2),
+        "converged": bool(model["is_conv"]),
+        "iters": int(model["solver_iters"]),
+        "solve_s": round(t_cache + t_pre + t_cg, 2),
+        "t_cache_warm_s": round(t_cache, 2),
+        "t_cache_cold_s": (round(t_cache_cold, 2)
+                           if np.isfinite(t_cache_cold) else None),
+        "t_preconditioner_s": round(t_pre, 2),
+        "t_cg_s": round(t_cg, 2),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("molecules", nargs="*",
+                    default=list(REFERENCE))
+    ap.add_argument("--k-frac", default=None,
+                    help="comma-separated k/n fractions overriding the "
+                         "per-molecule defaults")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+
+    warm_cache_s: dict = {}
+    for mol in args.molecules:
+        from mlff_tpu.data.synthetic import _BENCH_DIFFICULTY
+
+        if mol not in _BENCH_DIFFICULTY:
+            print(f"[{mol}] SKIPPED: no calibrated difficulty entry",
+                  file=sys.stderr, flush=True)
+            continue
+        fracs = ([float(x) for x in args.k_frac.split(",")]
+                 if args.k_frac else DEFAULT_KFRAC[mol])
+        rows = results.get(mol, {}).get("rows", [])
+        for frac in fracs:
+            from mlff_tpu.data.synthetic import MOLECULES
+
+            n = 3 * MOLECULES[mol] * max(2, round(31400 / (3 * MOLECULES[mol])))
+            k = max(128, int(round(frac * n / 128)) * 128)
+            if any(r["k"] == k for r in rows):
+                print(f"[{mol}] k={k}: cached row, skipping",
+                      file=sys.stderr, flush=True)
+                continue
+            t0 = time.time()
+            row = run_one(mol, k, warm_cache_s)
+            print(f"[{mol}] k={k}: solve {row['solve_s']}s "
+                  f"({row['iters']} iters, conv={row['converged']}) "
+                  f"[{time.time() - t0:.0f}s]", file=sys.stderr, flush=True)
+            rows.append(row)
+            ref_min, ref_k = REFERENCE[mol]
+            conv = [r for r in rows if r["converged"]]
+            best = min(conv, key=lambda r: r["solve_s"]) if conv else None
+            results[mol] = {
+                "rows": rows,
+                "best_solve_s": best["solve_s"] if best else None,
+                "best_k": best["k"] if best else None,
+                "reference_optimal_s": ref_min * 60.0,
+                "reference_optimal_k": ref_k,
+                "speedup": (round(ref_min * 60.0 / best["solve_s"], 2)
+                            if best else None),
+            }
+            with open(OUT, "w") as f:
+                json.dump(results, f, indent=2)
+    print(json.dumps({m: {k: v for k, v in r.items() if k != "rows"}
+                      for m, r in results.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

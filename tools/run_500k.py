@@ -1,0 +1,149 @@
+"""Ethanol n = 503,982 (n_train = 18,666): the reference's largest archived
+scale point.
+
+Reference numbers (/root/reference/data/data/rule_of_thumb/n = 500000/
+2022320_0944_precon_size_ethanol_min18666_max18666, cluster node43):
+  k/n     iters   t_pre      t_cg       total_time_solve
+  1.39%     770   2,218 s    6,775 s    8,993 s   <- optimum (149.9 min)
+  0.86%   1,157   1,175 s    8,110 s    9,285 s
+  0.53%   1,696     637 s    9,756 s   10,393 s
+  0.32%   2,325     373 s   11,906 s   12,279 s
+  0.20%   4,681     227 s   22,473 s   22,700 s
+
+Our configuration (single v5e chip, HBM-bounded):
+  * difficulty-calibrated synthetic ethanol + the real P = 6 perm group
+    (the same workload protocol as bench.py; settings transfer 15.7k->31.4k
+    was verified by calibration, transfer to 504k is reported as measured
+    iterations vs the archived curve);
+  * OTF matvec (pairwise=False — the (N, M) caches alone would be 5.5 GB
+    x2 at f64), lev_random, XLA Woodbury apply;
+  * k bounded by the post-d2h HBM ceiling: the (n, k) f64 factor is
+    4.1 GB at k = 1024 (k/n = 0.20%) — the archived 0.20% point is the
+    comparison row;
+  * 2-minute checkpoint snapshots -> --ckpt path (resume with --resume).
+
+Usage:
+  python tools/run_500k.py [--k 1024] [--maxiter N] [--probe]
+      [--ckpt /tmp/eth500k.npz] [--resume]
+  --probe: maxiter=20 timing probe (s/iter + build times, no convergence)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_TRAIN = 18666
+SIG = 10.0
+ARCHIVED = {  # k/n -> (iters, total_time_solve_s)
+    0.0139: (770, 8993.2), 0.0086: (1157, 9284.8), 0.0053: (1696, 10392.7),
+    0.0032: (2325, 12279.0), 0.0020: (4681, 22700.5),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--maxiter", type=int, default=None)
+    ap.add_argument("--probe", action="store_true")
+    ap.add_argument("--matvec", default="float64")
+    ap.add_argument("--ckpt", default="/tmp/eth500k_ckpt.npz")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from mlff_tpu.data.synthetic import make_benchmark_dataset
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+    from mlff_tpu.utils.io import save_model
+
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    ds, perms = make_benchmark_dataset("ethanol", n_samples=N_TRAIN + 60,
+                                       seed=11, n_train=N_TRAIN)
+    task = create_task(ds, N_TRAIN, ds, n_valid=50, sig=SIG,
+                       solver="cg", perms=perms)
+    task["matvec_dtype"] = args.matvec
+    if args.maxiter or args.probe:
+        task["solver_maxiter"] = args.maxiter or 20
+    n = int(np.asarray(task["F_train"]).size)
+    print(f"n = {n}, P = {perms.shape[0]}, k = {args.k} "
+          f"(k/n = {100.0 * args.k / n:.2f}%)  [setup "
+          f"{time.perf_counter() - t0:.0f}s]", file=sys.stderr, flush=True)
+
+    if args.resume and os.path.exists(args.ckpt):
+        from mlff_tpu.utils.io import load_model
+        from mlff_tpu.models.task import create_task_from_model
+
+        m_ck = load_model(args.ckpt)
+        task_r = create_task_from_model(m_ck, ds)
+        for key in ("matvec_dtype", "solver_maxiter"):
+            if key in task:
+                task_r[key] = task[key]
+        task = task_r
+        print(f"resuming from {args.ckpt} at iter "
+              f"{int(np.asarray(m_ck['solver_iters']))}",
+              file=sys.stderr, flush=True)
+
+    def save_progress(model):
+        save_model(args.ckpt, {k: v for k, v in model.items()
+                               if not isinstance(v, dict)})
+        print(f"  [ckpt] iter {model.get('solver_iters')} -> {args.ckpt}",
+              file=sys.stderr, flush=True)
+
+    t1 = time.perf_counter()
+    model = Trainer().train(
+        task, n_columns=args.k, str_preconditioner="lev_random",
+        callback=lambda it, r, eff: print(
+            f"  cg it={it} resid={r:.3e} eff={eff} "
+            f"[{time.perf_counter() - t1:.0f}s]",
+            file=sys.stderr, flush=True),
+        save_progr_callback=save_progress,
+    )
+    wall = time.perf_counter() - t1
+    t_pre = float(model.get("total_time_preconditioner", np.nan))
+    t_cg = float(model.get("total_time_cg", np.nan))
+    t_cache = float(model.get("cache_build_s", np.nan))
+    iters = int(model["solver_iters"])
+    new_iters = iters - int(task.get("solver_iters", 0) or 0)
+    kn = args.k / n
+    arch_key = min(ARCHIVED, key=lambda p: abs(p - kn) / p)
+    arch_iters, arch_solve = ARCHIVED[arch_key]
+    solve_s = (t_cache if np.isfinite(t_cache) else 0.0) + t_pre + t_cg
+    out = {
+        "metric": f"time_to_solution_ethanol_n{n}",
+        "value": round(solve_s, 1),
+        "unit": "s",
+        "workload": "calibrated+perms",
+        "converged": bool(model["is_conv"]),
+        "iters": iters,
+        "k": args.k,
+        "k_over_n_pct": round(100 * kn, 3),
+        "matvec_dtype": args.matvec,
+        "t_cache_build_s": round(t_cache, 1) if np.isfinite(t_cache) else None,
+        "t_preconditioner_s": round(t_pre, 1),
+        "t_cg_s": round(t_cg, 1),
+        "s_per_iter": round(t_cg / max(1, new_iters), 3),
+        "wall_s": round(wall, 1),
+        "archived_at_same_kn": {"k_over_n": arch_key, "iters": arch_iters,
+                                "total_time_solve_s": arch_solve},
+        "vs_archived_best": round(8993.2 / solve_s, 2),
+        "vs_archived_same_kn": round(arch_solve / solve_s, 2),
+    }
+    print(json.dumps(out))
+    if model["is_conv"] and not args.probe:
+        try:
+            os.unlink(args.ckpt)
+        except OSError:
+            pass
+
+
+if __name__ == "__main__":
+    main()
