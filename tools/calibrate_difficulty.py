@@ -29,13 +29,20 @@ import pickle
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Iteration counts are backend-independent (deterministic f64), so the
+# default backend is CPU (leaves the chip free).  MLFF_CAL_PLATFORM=tpu
+# runs on the chip instead — the square-layout molecules (nanotube,
+# A = 370) are ~10x faster there than on this 2-core host.
+_PLATFORM = os.environ.get("MLFF_CAL_PLATFORM", "cpu")
+if _PLATFORM == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, "/root/repo")
