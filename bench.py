@@ -71,12 +71,15 @@ def warmup_tunnel():
     import jax
     import jax.numpy as jnp
 
+    # NOTE: on axon remote buffers block_until_ready (function AND method)
+    # does not actually block; only a host fetch synchronizes — fetch one
+    # scalar of each result.
     t0 = time.perf_counter()
-    jax.block_until_ready(jnp.ones(8) + 1.0)
+    float((jnp.ones(8) + 1.0)[0])
     a32 = jnp.ones((4096, 4096), jnp.float32)
-    jax.block_until_ready(jax.jit(jnp.matmul)(a32, a32))
+    float(jax.jit(jnp.matmul)(a32, a32)[0, 0])
     a64 = jnp.ones((2048, 2048), jnp.float64)
-    jax.block_until_ready(jax.jit(lambda x: x @ x)(a64))
+    float(jax.jit(lambda x: x @ x)(a64)[0, 0])
     return time.perf_counter() - t0
 
 
@@ -136,13 +139,16 @@ def main():
 
     tr = Trainer()
     spec, S, X, Jc, P_idx = tr.build_kernel_inputs(task)
-    _jax.block_until_ready(X)
+    float(X[0, 0])  # synchronize (block_until_ready is a no-op on axon)
     t0c = time.perf_counter()
     cache2 = knl.build_cache(
         X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
         R=tr._square_R(task, spec, P_idx),
         pairwise=tr._pairwise_fits(X.shape[0], P_idx.shape[0]))
-    _jax.block_until_ready(cache2.Xqt)
+    # fetch one scalar from the LAST-computed pairwise field: the only
+    # genuine synchronization on axon remote buffers
+    sync = cache2.A_exp1 if cache2.A_exp1 is not None else cache2.Xqt
+    float(sync.ravel()[-1])
     t_cache_warm = time.perf_counter() - t0c
     del cache2
     log(f"[INFO] kernel cache rebuild (warm): {t_cache_warm:.2f}s "

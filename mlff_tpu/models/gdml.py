@@ -176,7 +176,11 @@ class Trainer:
                 R=self._square_R(task, spec, P_idx),
                 pairwise=self._pairwise_fits(X.shape[0], P_idx.shape[0]),
             )
-            jax.block_until_ready(cache.Xqt)
+            # fetch one scalar of the last-computed field: the only genuine
+            # synchronization on axon remote buffers (block_until_ready —
+            # function and method — is a no-op there, measured round 4)
+            _sync = cache.A_exp1 if cache.A_exp1 is not None else cache.Xqt
+            float(_sync.ravel()[-1])
             cache_build_s = time.perf_counter() - t_cache
             log.info("kernel cache build: %.1fs", cache_build_s)
             res = solve_iterative(

@@ -71,13 +71,14 @@ def run_one(mol: str, k: int, warm_cache_s: dict):
     if mol not in warm_cache_s:
         tr = Trainer()
         spec, S, X, Jc, P_idx = tr.build_kernel_inputs(task)
-        jax.block_until_ready(X)
+        float(X[0, 0])  # synchronize (block_until_ready no-ops on axon)
         t0c = time.perf_counter()
         c2 = knl.build_cache(
             X, Jc, S, P_idx, float(task["sig"]), CG_LAM,
             R=tr._square_R(task, spec, P_idx),
             pairwise=tr._pairwise_fits(X.shape[0], P_idx.shape[0]))
-        jax.block_until_ready(c2.Xqt)
+        sync = c2.A_exp1 if c2.A_exp1 is not None else c2.Xqt
+        float(sync.ravel()[-1])
         warm_cache_s[mol] = time.perf_counter() - t0c
         del c2
     t_cache = warm_cache_s[mol]
