@@ -36,9 +36,12 @@ stays inside ``wall_total_s``.
 Configuration choices (ours, measured on hardware — see RESULTS.md):
   * preconditioner 'lev_random' (uniform sampling is ~5x worse on the
     calibrated synthetic data; archived-MD17 ethanol shows them equal).
-  * FULL-f64 matvec and XLA Woodbury apply by default; BENCH_MATVEC can
-    select 'mixed' (diverges on this workload — kept for A/B), or 'ozaki'
-    (exact-slice df64-grade GEMMs, ops/ozaki.py).
+  * OZAKI exact-slice matvec (ops/ozaki.py: ~2^-48-grade GEMMs from
+    native bf16 MXU passes — inside the lam-floor accuracy bound, unlike
+    the f32-grade 'mixed' path which diverges here) with f64 residual
+    replacement; measured 7.7 vs 19.7 ms/iter against the f64-emulated
+    matvec at this scale, iteration count 292 vs 287.  BENCH_MATVEC
+    selects 'float64' / 'mixed' for A/B.  XLA Woodbury apply.
 
 Prints ONE JSON line, e.g.:
   {"metric": "time_to_solution_ethanol_n31482", "value": <s>, "unit": "s",
@@ -56,7 +59,7 @@ BASELINE_S = 48.0  # 0.8 min, rule_of_thumb.csv row 0 (ethanol n = 31,400)
 N_TRAIN, SIG = 1166, 10.0
 K = int(os.environ.get("BENCH_K", "1536"))
 STRATEGY = os.environ.get("BENCH_STRATEGY", "lev_random")
-MATVEC = os.environ.get("BENCH_MATVEC", "float64")
+MATVEC = os.environ.get("BENCH_MATVEC", "ozaki")
 APPLY = os.environ.get("BENCH_APPLY", "xla")
 
 

@@ -499,21 +499,34 @@ def matvec_psd_mixed(cache: KernelCache, v: jnp.ndarray) -> jnp.ndarray:
 class OzakiMatvecState(NamedTuple):
     """KernelCache + pre-sliced digit decompositions of the
     iteration-invariant GEMM operands (a pytree — rides into the compiled
-    CG loop as an argument, like the plain cache)."""
+    CG loop as an argument, like the plain cache).
+
+    Cached (pairwise) mode uses Xq_sl/Xqt_sl/Ae1_sl; OTF mode
+    (cache.A_exp is None — the n ~ 500k layout) uses Xqt_sl/Xqt_sl_T and
+    slices the per-tile/per-iteration operands in-loop."""
 
     cache: KernelCache
-    Xq_sl: tuple    # slice_digits(Xq, axis=1):    GEMM1 left, contraction D
-    Xqt_sl: tuple   # slice_digits(Xqt, axis=0):   GEMM2 right, contraction M
-    Ae1_sl: tuple   # slice_digits(A_exp1, axis=1) GEMM3 left, contraction M
+    Xq_sl: tuple | None     # slice_digits(Xq, axis=1):   GEMM1 left (cached)
+    Xqt_sl: tuple           # slice_digits(Xqt, axis=0):  GEMM2 right
+    Ae1_sl: tuple | None    # slice_digits(A_exp1, axis=1) GEMM3 left (cached)
+    Xqt_sl_T: tuple | None = None  # slice_digits(Xqt.T, axis=0): dist Gram
+    #                                right side (OTF mode only)
 
 
 def ozaki_matvec_state(cache: KernelCache) -> OzakiMatvecState:
     """Build the once-per-solve sliced operand state (~6 bf16 digit copies
-    of each operand: +1.5x the f64 operand bytes)."""
+    of each sliced operand: +1.5x its f64 bytes; the big A_exp1 slices
+    exist only in cached mode)."""
     from . import ozaki
 
-    assert cache.A_exp1 is not None, \
-        "ozaki matvec needs the pairwise cache (build_cache(pairwise=True))"
+    if cache.A_exp1 is None:
+        return OzakiMatvecState(
+            cache=cache,
+            Xq_sl=None,
+            Xqt_sl=ozaki.slice_digits(cache.Xqt, axis=0),
+            Ae1_sl=None,
+            Xqt_sl_T=ozaki.slice_digits(cache.Xqt.T, axis=0),
+        )
     return OzakiMatvecState(
         cache=cache,
         Xq_sl=ozaki.slice_digits(cache.Xq, axis=1),
@@ -552,8 +565,70 @@ def matvec_ref_ozaki(state: OzakiMatvecState, v: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def _matvec_ref_ozaki_otf(state: OzakiMatvecState, v: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """OTF (pairwise=False) variant: per row tile, the distance Gram and
+    the three force GEMMs all run as exact-slice products; distances and
+    exp weights are recomputed in f64 per tile (iteration-invariant but too
+    large to store at n ~ 500k).  The per-tile right-hand operands
+    (Xqt as GEMM2's right side, Xqt^T as the dist Gram's right side) are
+    sliced once in the state; the tile's G/A_exp1 and the per-iteration wt
+    are sliced in-loop."""
+    from . import ozaki
+
+    cache = state.cache
+    N = cache.X.shape[0]
+    A = cache.S.shape[1]
+    D = cache.X.shape[1]
+    v3 = v.reshape(N, A, 3)
+    w = d_desc_dot_vec(cache.Jc, cache.S, v3)       # (N, D) f64
+    wt = perm_expand_w(w, cache.P_idx)              # (M, D) f64
+    ct = jnp.sum(cache.Xqt * wt, axis=1)            # (M,)  f64
+    sig = cache.sig
+    c0 = 5.0 / (3.0 * sig**2)
+    nq = jnp.sum(cache.Xqt * cache.Xqt, axis=1)     # (M,)  f64
+
+    wtT_sl = ozaki.slice_digits(wt.T, axis=0)       # GEMM1/dist per-iter side
+    wt_sl = ozaki.slice_digits(wt, axis=0)          # GEMM3 right side
+
+    tile = _otf_tile(N, cache.Xqt.shape[0])
+    n_tiles = -(-N // tile)
+    Xq_pad = cache.Xq
+    if n_tiles * tile != N:
+        Xq_pad = jnp.concatenate(
+            [Xq_pad, jnp.zeros((n_tiles * tile - N, D), Xq_pad.dtype)])
+
+    def one_tile(Xq_t):                              # (tile, D)
+        Xq_t_sl = ozaki.slice_digits(Xq_t, axis=1)
+        # distances via the Gram trick, Gram at ~2^-48 (the f32-grade Gram
+        # corrupts the exp weights beyond the lam-floor bound)
+        g = ozaki.gemm_presliced(Xq_t_sl, state.Xqt_sl_T)
+        na = jnp.sum(Xq_t * Xq_t, axis=1)
+        d2 = jnp.maximum(na[:, None] + nq[None, :] - 2.0 * g, 0.0)
+        dist = jnp.sqrt(d2)
+        A_exp = c0 * jnp.exp(-dist)
+        A_exp1 = A_exp * (1.0 + dist)
+        dot = ozaki.gemm_presliced(Xq_t_sl, wtT_sl) - ct[None, :]
+        G = A_exp * dot
+        G_sl = ozaki.slice_digits(G, axis=1)
+        F1 = Xq_t * jnp.sum(G, axis=1, keepdims=True) \
+            - ozaki.gemm_presliced(G_sl, state.Xqt_sl)
+        Ae1_sl = ozaki.slice_digits(A_exp1, axis=1)
+        F2 = ozaki.gemm_presliced(Ae1_sl, wt_sl)
+        return F1 - F2                               # (tile, D)
+
+    F_desc = jax.lax.map(
+        one_tile, Xq_pad.reshape(n_tiles, tile, D)
+    ).reshape(-1, D)[:N]
+    out = vec_dot_d_desc(cache.Jc, cache.S, F_desc)
+    return out.reshape(-1)
+
+
+@jax.jit
 def matvec_psd_ozaki(state: OzakiMatvecState, v: jnp.ndarray) -> jnp.ndarray:
-    """(K + lam*I) @ v on the Ozaki sliced operator."""
+    """(K + lam*I) @ v on the Ozaki sliced operator (cached or OTF)."""
+    if state.cache.A_exp is None:
+        return state.cache.lam * v - _matvec_ref_ozaki_otf(state, v)
     return state.cache.lam * v - matvec_ref_ozaki(state, v)
 
 

@@ -117,6 +117,33 @@ def test_matvec_ozaki_df64_grade_vs_f64():
         assert rel < 1e-12, rel
 
 
+def test_matvec_ozaki_otf_df64_grade():
+    """The OTF (pairwise=False, n~500k layout) ozaki matvec matches the f64
+    operator to ~1e-12 — distances, exp weights and all three force GEMMs
+    recomputed per tile through the exact-slice path."""
+    from mlff_tpu.data.synthetic import make_benchmark_dataset
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+    from mlff_tpu.ops import kernel as knl
+
+    ds, perms = make_benchmark_dataset("ethanol", 60)
+    task = create_task(ds, 40, ds, n_valid=10, sig=10.0, solver="cg",
+                       perms=perms)
+    tr = Trainer()
+    spec, S, X, Jc, P_idx = tr.build_kernel_inputs(task)
+    cache = knl.build_cache(X, Jc, S, P_idx, 10.0, 1e-10)
+    cache_otf = knl.build_cache(X, Jc, S, P_idx, 10.0, 1e-10,
+                                pairwise=False)
+    state = knl.ozaki_matvec_state(cache_otf)
+    assert state.Ae1_sl is None and state.Xqt_sl_T is not None
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=cache.n))
+    hi = np.asarray(knl.matvec_psd(cache, v))
+    oz = np.asarray(knl.matvec_psd_ozaki(state, v))
+    rel = np.linalg.norm(oz - hi) / np.linalg.norm(hi)
+    assert rel < 1e-12, rel
+
+
 def test_matvec_ozaki_solve_iteration_parity():
     """CG with the ozaki matvec must track the f64 path's iteration count
     essentially exactly (unlike 'float32'/'mixed', which this tiny
