@@ -824,17 +824,34 @@ def _gram_entries_df64(B: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray):
     sum_r B[r, i] * B[r, j] for index vectors ii/jj — the accuracy oracle
     for the device Gram guard in _nystrom_factor_split.  Error ~4e-14
     absolute at Gram scale O(10): two decades below the 1e-12 guard
-    threshold, four below the failure grade it exists to catch."""
+    threshold, four below the failure grade it exists to catch.
+
+    Entries are processed in COLUMN CHUNKS of 64 (lax.map): the full-
+    diagonal probe (~2m entries) gathered wholesale is an (n, 2m) f64
+    transient whose df64 splits compile-OOMed HBM at n = 504k, m = 1024
+    (measured round 4: 16.1 G needed of 15.75 G)."""
     from ..ops import df64 as _d
 
-    a = B[:, ii]
-    b = B[:, jj]
-    ah, al = _d.split_f64(a)
-    bh, bl = _d.split_f64(b)
-    ph, pe = _d.two_prod(ah, bh)
-    pe = pe + (ah * bl + al * bh)
-    h, low = _d.df64_sum_pairwise(ph, pe, axis=0)
-    return h.astype(jnp.float64) + low.astype(jnp.float64)
+    k = int(ii.shape[0])
+    CH = 64
+    n_ch = -(-k // CH)
+    pad = n_ch * CH - k
+    ii_p = jnp.concatenate([ii, jnp.zeros(pad, ii.dtype)]) if pad else ii
+    jj_p = jnp.concatenate([jj, jnp.zeros(pad, jj.dtype)]) if pad else jj
+
+    def one(idx_pair):
+        i_c, j_c = idx_pair
+        a = B[:, i_c]
+        b = B[:, j_c]
+        ah, al = _d.split_f64(a)
+        bh, bl = _d.split_f64(b)
+        ph, pe = _d.two_prod(ah, bh)
+        pe = pe + (ah * bl + al * bh)
+        h, low = _d.df64_sum_pairwise(ph, pe, axis=0)
+        return h.astype(jnp.float64) + low.astype(jnp.float64)
+
+    out = jax.lax.map(one, (ii_p.reshape(n_ch, CH), jj_p.reshape(n_ch, CH)))
+    return out.reshape(-1)[:k]
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
