@@ -77,6 +77,8 @@ def build_preconditioner(
 
     def _factor_precon(L):
         P = pc.woodbury_from_factor(L, lam)
+        if apply_impl == "ozaki":
+            return pc.ozaki_from_split(P)
         if apply_impl != "df64":
             return P
         # 3-component storage kills the frozen-quantization iteration

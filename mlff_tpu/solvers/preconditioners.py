@@ -129,6 +129,122 @@ class WoodburySplitPreconditioner(NamedTuple):
         return (self.B @ self.W2).T
 
 
+class OzakiApplyPreconditioner(NamedTuple):
+    """Woodbury apply through an Ozaki digit decomposition of B.
+
+    The split apply's two (n, m) passes are f64 broadcast-reduces on the
+    VPU — f64 elementwise is software-emulated on v5e and dominates the CG
+    iteration once the matvec runs through ops.ozaki (measured 23.4 ms/iter
+    total with the matvec at 7.7 ms, n = 31,482, m = 1536).  Here B is
+    stored as s = 7 integer bf16 digit arrays with per-COLUMN power-of-two
+    scales (56 bits: below f64's own 52-bit mantissa, so unlike the 48-bit
+    2-component df64 apply there is NO frozen-quantization iteration
+    penalty).  Each pass contracts digit i of B against ALL needed digits
+    of the (small, per-apply-sliced) vector in ONE segmented MXU product —
+    B's digits are read once per pass, so HBM traffic is ~1.75x the f64
+    B read while the arithmetic moves from emulated-f64 VPU to native bf16
+    MXU.  The same per-column decomposition serves both passes: pass 2
+    folds the column scales into the small vector before slicing it
+    (products then sit on a uniform per-digit-pair grid, keeping the
+    256-deep f32 segment sums exact).
+
+    B's digits are row-padded to a multiple of 256 (zero rows are inert);
+    the f64 B is NOT kept — the digits replace it (~1.75x B's bytes).
+    """
+
+    B_dig: tuple      # s x (n_pad, m) bf16 integer digits
+    sB: jnp.ndarray   # (m,) f64 per-column power-of-two scales
+    W2: jnp.ndarray   # (m, m)
+    lam: jnp.ndarray  # ()
+
+    def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
+        return ozaki_woodbury_apply(self, v)
+
+    def as_op(self):
+        return ozaki_woodbury_apply, self
+
+
+def ozaki_from_split(P: "WoodburySplitPreconditioner", s: int = 7
+                     ) -> OzakiApplyPreconditioner:
+    """Convert a split factor into the Ozaki-digit apply form."""
+    from ..ops import ozaki
+
+    n, m = P.B.shape
+    n_pad = -(-n // 256) * 256
+    B = P.B
+    if n_pad != n:
+        B = jnp.concatenate([B, jnp.zeros((n_pad - n, m), B.dtype)])
+    scale, digits = ozaki.slice_digits(B, axis=0, s=s)
+    return OzakiApplyPreconditioner(
+        B_dig=tuple(digits), sB=scale.reshape(-1), W2=P.W2, lam=P.lam)
+
+
+def _ozaki_gemv_digits(B_dig: tuple, x_dig: list, sx: jnp.ndarray,
+                       transpose: bool) -> jnp.ndarray:
+    """sum over digit pairs (i, j), i + j < s, of
+    256^-(i+j+2) * (B_i^T X_j) (transpose=True: contraction over rows) or
+    256^-(i+j+2) * (B_i X_j)   (transpose=False: contraction over columns),
+    with exact 256-deep f32 segment accumulation and f64 cross-segment/pair
+    accumulation.  x_dig entries are (len_contract, 1) integer digits.
+    Digit i of B is read ONCE: all its partners stack into one product."""
+    s = len(B_dig)
+    n_pad, m = B_dig[0].shape
+    out = None
+    for i, Bi in enumerate(B_dig):
+        J = s - i
+        X = jnp.concatenate([x_dig[j] for j in range(J)], axis=1)
+        if transpose:
+            # u_part[c, j] = sum_r Bi[r, c] X[r, j], segmented over r
+            n_seg = n_pad // 256
+            B3 = Bi.reshape(n_seg, 256, m)
+            X3 = X.reshape(n_seg, 256, J)
+            part = jnp.einsum("scm,scj->smj", B3, X3,
+                              preferred_element_type=jnp.float32)
+            acc = jnp.sum(part.astype(jnp.float64), axis=0)      # (m, J)
+        else:
+            # y_part[r, j] = sum_c Bi[r, c] X[c, j], segmented over c
+            m_seg = -(-m // 256)
+            m_pad = m_seg * 256
+            Bp, Xp = Bi, X
+            if m_pad != m:
+                Bp = jnp.concatenate(
+                    [Bi, jnp.zeros((n_pad, m_pad - m), Bi.dtype)], axis=1)
+                Xp = jnp.concatenate(
+                    [X, jnp.zeros((m_pad - m, J), X.dtype)])
+            B3 = Bp.reshape(n_pad, m_seg, 256).transpose(1, 0, 2)
+            X3 = Xp.reshape(m_seg, 256, J)
+            part = jnp.einsum("smc,scj->smj", B3, X3,
+                              preferred_element_type=jnp.float32)
+            acc = jnp.sum(part.astype(jnp.float64), axis=0)      # (n_pad, J)
+        w = 256.0 ** -(i + 2.0 + jnp.arange(J, dtype=jnp.float64))
+        term = jnp.sum(acc * w[None, :], axis=1)
+        out = term if out is None else out + term
+    return out * sx
+
+
+@jax.jit
+def ozaki_woodbury_apply(P: OzakiApplyPreconditioner, v: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """lam^-1 (v - B W2 W2^T B^T v) through the digit decomposition."""
+    from ..ops import ozaki
+
+    n = v.shape[0]
+    n_pad = P.B_dig[0].shape[0]
+    s = len(P.B_dig)
+    vp = v
+    if n_pad != n:
+        vp = jnp.concatenate([v, jnp.zeros(n_pad - n, v.dtype)])
+    sv, v_dig = ozaki.slice_digits(vp[:, None], axis=0, s=s)
+    u = _ozaki_gemv_digits(P.B_dig, v_dig, sv.reshape(()), True) * P.sB
+    x = jnp.matmul(P.W2, jnp.matmul(P.W2.T, u, precision=_HP),
+                   precision=_HP)
+    x2 = x * P.sB  # fold column scales into the small vector (grid
+    #                uniformity for the exact segment sums)
+    sx2, x_dig = ozaki.slice_digits(x2[:, None], axis=0, s=s)
+    y = _ozaki_gemv_digits(P.B_dig, x_dig, sx2.reshape(()), False)[:n]
+    return (v - y) / P.lam
+
+
 # chunk the apply's (n, m) passes above this factor size (an unfused
 # broadcast-multiply transient equals B's own footprint — 8 GB at n=500k)
 _APPLY_CHUNK_BYTES = int(2e9)
@@ -654,6 +770,8 @@ def nystrom_preconditioner(
             # f32 slices, ~20 B/elem) would breach the HBM ceiling
             comps = 3 if P.B.size * 20 < int(8e9) else 2
             P = df64_from_split(P, components=comps)
+        elif apply_impl == "ozaki":
+            P = ozaki_from_split(P)
         elif apply_impl != "xla":
             raise ValueError(f"unknown apply_impl {apply_impl!r}")
     elif method == "chol":

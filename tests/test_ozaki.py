@@ -177,6 +177,54 @@ def test_matvec_ozaki_solve_iteration_parity():
     assert resid <= 1.3e-4, resid
 
 
+def test_ozaki_woodbury_apply_f64_grade():
+    """The digit-decomposed Woodbury apply matches the f64 split apply to
+    ~2^-52-grade (s = 7 digits = 56 bits: BELOW f64's mantissa, so no
+    frozen-quantization penalty — the measured failure mode of the 48-bit
+    df64 apply)."""
+    from mlff_tpu.solvers import preconditioners as pc
+
+    rng = np.random.default_rng(0)
+    n, m = 700, 96
+    # a realistic whitened factor: decaying singular values
+    U = np.linalg.qr(rng.normal(size=(n, m)))[0]
+    B = U * np.exp(-np.linspace(0, 8, m))[None, :]
+    W2 = np.linalg.cholesky(
+        np.linalg.inv(B.T @ B + 1e-10 * np.eye(m)))
+    P = pc.WoodburySplitPreconditioner(
+        B=jnp.asarray(B), W2=jnp.asarray(W2),
+        lam=jnp.asarray(1e-10))
+    Poz = pc.ozaki_from_split(P)
+    for seed in range(3):
+        v = jnp.asarray(np.random.default_rng(seed).normal(size=n))
+        ref = np.asarray(pc.woodbury_split_apply(P, v))
+        oz = np.asarray(pc.ozaki_woodbury_apply(Poz, v))
+        rel = np.linalg.norm(oz - ref) / np.linalg.norm(ref)
+        assert rel < 1e-13, rel
+
+
+def test_ozaki_apply_solve_iteration_parity():
+    """CG with apply_impl='ozaki' tracks the xla apply's iteration count
+    (the 56-bit digits are below f64 resolution) and satisfies the true
+    system."""
+    from mlff_tpu.data.synthetic import make_benchmark_dataset
+    from mlff_tpu.models.gdml import Trainer
+    from mlff_tpu.models.task import create_task
+    from mlff_tpu.ops import kernel as knl
+
+    ds, perms = make_benchmark_dataset("ethanol", 60)
+    task = create_task(ds, 40, ds, n_valid=10, sig=10.0, solver="cg",
+                       perms=perms)
+    mx = Trainer().train(task, break_percentage=0.1,
+                         str_preconditioner="lev_random")
+    moz = Trainer().train(dict(task, apply_impl="ozaki"),
+                          break_percentage=0.1,
+                          str_preconditioner="lev_random")
+    assert mx["is_conv"] and moz["is_conv"]
+    itx, itoz = int(mx["solver_iters"]), int(moz["solver_iters"])
+    assert abs(itoz - itx) <= max(3, int(0.05 * itx)), (itx, itoz)
+
+
 def test_zero_rows_and_columns():
     A = np.zeros((8, 64))
     A[0] = 1.0
