@@ -158,4 +158,15 @@ def shard_preconditioner(precon, mesh: Mesh):
             W2=jax.device_put(precon.W2, rep),
             lam=jax.device_put(precon.lam, rep),
         )
+    if isinstance(precon, pc.OzakiApplyPreconditioner):
+        # digit arrays row-shard like the f64 factor; the segmented einsum
+        # contracts the (padded) row axis per 256-block, so the row count —
+        # already a multiple of 256 — stays divisible across mesh rows
+        return pc.OzakiApplyPreconditioner(
+            B_dig=tuple(jax.device_put(d, s(ROWS, None))
+                        for d in precon.B_dig),
+            sB=jax.device_put(precon.sB, rep),
+            W2=jax.device_put(precon.W2, rep),
+            lam=jax.device_put(precon.lam, rep),
+        )
     return precon

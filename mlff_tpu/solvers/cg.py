@@ -190,6 +190,11 @@ def pcg(
     if chunk is None:
         n = b.shape[0]
         chunk = 25 if n < 16384 else (50 if n < 49152 else 100)
+        if n >= 300_000:
+            # huge-n regime: seconds per OTF matvec — the host round trip
+            # is negligible, while smaller dispatches mean checkpoint/
+            # telemetry every ~2 min instead of every ~6
+            chunk = 25
     return PCGSolver(matvec, precon, chunk, exact_matvec=exact_matvec
                      ).solve(b, **kwargs)
 

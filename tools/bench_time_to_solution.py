@@ -93,7 +93,7 @@ def main():
         from mlff_tpu.data.synthetic import make_benchmark_dataset
 
         ds, perms = make_benchmark_dataset(
-            args.molecule, n_samples=n_train + 60, seed=11)
+            args.molecule, n_samples=n_train + 60, seed=11, n_train=n_train)
         task = create_task(ds, n_train, ds, n_valid=50, sig=10.0,
                            solver="cg", perms=perms)
     else:
