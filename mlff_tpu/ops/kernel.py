@@ -31,6 +31,7 @@ TPU design:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -641,7 +642,9 @@ _OTF_TILE = 4096
 # (32 B/elem) — 3e7 elements keeps that under ~4 GB.  With P > 1 perm
 # groups M = N*P outgrows the fixed _OTF_TILE assumption (M = 112k at
 # ethanol n = 504k compiled to a 67 GB program at tile 4096).
-_OTF_TILE_BUDGET = int(3e7)
+# MLFF_OTF_TILE_BUDGET overrides for runs where a large resident factor
+# leaves less transient headroom (the 504k colblock runs).
+_OTF_TILE_BUDGET = int(float(os.environ.get("MLFF_OTF_TILE_BUDGET", 3e7)))
 
 
 def _otf_tile(N: int, M: int) -> int:

@@ -286,12 +286,19 @@ def solve_iterative(
         # exact-slice df64-grade GEMMs (ops.ozaki): ~2^-48 matvec accuracy
         # — INSIDE the lam-floor bound that kills the f32-grade paths — at
         # native bf16 MXU speed.  Residual replacement stays on as a
-        # correctness backstop (one f64 matvec per ~50 iterations).
+        # correctness backstop (one f64 matvec per ~50 iterations) unless
+        # the task disables it: at n ~ 500k the f64 OTF matvec's
+        # 8-way-split transients crash the TPU worker inside the CG chunk
+        # (measured round 4), so huge-n runs set residual_replacement=False
+        # and verify the TRUE f64 residual with one standalone dispatch
+        # after the solve instead.
         mv_fn = knl.matvec_psd_ozaki
         mv_cache = knl.ozaki_matvec_state(cache)
-        exact_matvec = (knl.matvec_psd, cache)
-        log.info("matvec: ozaki exact-slice (df64-grade bf16 GEMMs, f64 "
-                 "residual replacement)")
+        if task.get("residual_replacement", True):
+            exact_matvec = (knl.matvec_psd, cache)
+        log.info("matvec: ozaki exact-slice (df64-grade bf16 GEMMs%s)",
+                 ", f64 residual replacement"
+                 if exact_matvec is not None else "")
     elif matvec_dtype == "mixed" and not use_E_cstr:
         # centered + chunk-accumulated f32 matvec (ops.kernel mixed-precision
         # notes): ~1e-7-grade accuracy at f32 MXU speed; the OTF variant

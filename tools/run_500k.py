@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
+    # leave transient headroom for the resident colblock factor (the
+    # default 3e7 budget's tiles OOM-compiled next to a 6+ GB factor)
+    os.environ.setdefault("MLFF_OTF_TILE_BUDGET", "1.5e7")
+
     import jax
     jax.config.update("jax_enable_x64", True)
 
@@ -71,6 +75,10 @@ def main():
     task = create_task(ds, N_TRAIN, ds, n_valid=50, sig=SIG,
                        solver="cg", perms=perms)
     task["matvec_dtype"] = args.matvec
+    # the f64 OTF matvec crashes the TPU worker inside the CG chunk at
+    # this scale — no in-loop residual replacement; the true f64 residual
+    # is verified with ONE standalone dispatch after the solve
+    task["residual_replacement"] = False
     if args.maxiter or args.probe:
         task["solver_maxiter"] = args.maxiter or 20
     n = int(np.asarray(task["F_train"]).size)
@@ -108,6 +116,31 @@ def main():
         save_progr_callback=save_progress,
     )
     wall = time.perf_counter() - t1
+
+    # post-solve TRUE-residual verification: one standalone f64 OTF matvec
+    # (survives outside the CG chunk; 10.2 s measured) — the in-loop
+    # backstop is disabled at this scale (see above)
+    true_rel = None
+    try:
+        import jax.numpy as jnp
+
+        from mlff_tpu.models.gdml import CG_LAM
+        from mlff_tpu.ops import kernel as knl
+
+        tr2 = Trainer()
+        spec, S, X, Jc, P_idx = tr2.build_kernel_inputs(task)
+        y, y_std, _ = tr2.labels(task)
+        cache_v = knl.build_cache(X, Jc, S, P_idx, float(task["sig"]),
+                                  CG_LAM, pairwise=False)
+        x = jnp.asarray(-np.asarray(model["alphas_F"]))
+        r = np.asarray(knl.matvec_psd(cache_v, x)) - y
+        true_rel = float(np.linalg.norm(r) / np.linalg.norm(y))
+        print(f"true f64 residual: {true_rel:.3e} (tol "
+              f"{task.get('solver_tol', 1e-4)})", file=sys.stderr, flush=True)
+    except Exception as e:  # verification must not kill a finished run
+        print(f"true-residual check failed: {e!r}", file=sys.stderr,
+              flush=True)
+
     t_pre = float(model.get("total_time_preconditioner", np.nan))
     t_cg = float(model.get("total_time_cg", np.nan))
     t_cache = float(model.get("cache_build_s", np.nan))
@@ -132,6 +165,7 @@ def main():
         "t_cg_s": round(t_cg, 1),
         "s_per_iter": round(t_cg / max(1, new_iters), 3),
         "wall_s": round(wall, 1),
+        "true_residual_rel": true_rel,
         "archived_at_same_kn": {"k_over_n": arch_key, "iters": arch_iters,
                                 "total_time_solve_s": arch_solve},
         "vs_archived_best": round(8993.2 / solve_s, 2),
