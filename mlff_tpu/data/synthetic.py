@@ -215,6 +215,8 @@ _BENCH_DIFFICULTY: dict = {
     "ethanol": dict(n_modes=21, temperature=0.25),        # 386/379, 171/196
     "uracil": dict(n_modes=33, temperature=0.0840),       # 727/587, 309/291
     "toluene": dict(n_modes=21, temperature=0.0971),      # 1001/1059, 390/512
+    "aspirin": dict(n_modes=33, temperature=0.1501,
+                    jitter=0.0025),                       # 4226/5732, 1826/1584
     "azobenzene": dict(n_modes=21, temperature=0.0377),   # 1437/1312, 525/642
     "catcher": dict(n_modes=21, temperature=0.25),        # 6338/7980, 3576/3512
 }

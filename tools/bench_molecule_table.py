@@ -57,6 +57,9 @@ def run_one(mol: str, k: int, warm_cache_s: dict):
                                        n_train=n_train)
     task = create_task(ds, n_train, ds, n_valid=50, sig=10.0, solver="cg",
                        perms=perms)
+    # production configuration (bench.py defaults): ozaki exact-slice
+    # matvec with f64 residual replacement
+    task["matvec_dtype"] = os.environ.get("TABLE_MATVEC", "ozaki")
     n = int(np.asarray(task["F_train"]).size)
     t0 = time.perf_counter()
     model = Trainer().train(task, n_columns=k,
