@@ -1277,9 +1277,12 @@ def assemble_columns(
 
     # the chunked path materializes ALL touched point-blocks
     # (n_pts, n, 3A) before gathering — at n = 75k and ~1000 points that is
-    # ~15 GB and OOMs HBM; the grouped path's footprint is ~the (n, k) result
+    # ~15 GB and OOMs HBM; the grouped path's footprint is ~the (n, k)
+    # result.  Threshold 0.5 GB: a 1.36 GB chunked assembly (m=216 at
+    # n=31,482) hit runtime RESOURCE_EXHAUSTED on the axon runtime
+    # (round 4) while the grouped path runs the same selection fine
     chunked_bytes = len(uniq_points) * cache.n * T * 8
-    if len(uniq_points) > N // 3 or chunked_bytes > int(2e9):
+    if len(uniq_points) > N // 3 or chunked_bytes > int(5e8):
         # dense-ish column set: column-exact grouped assembly — computes
         # only the requested partials (see _assemble_columns_grouped).
         # Slots per group track the average partials-per-point so sparse
