@@ -191,10 +191,13 @@ def pcg(
         n = b.shape[0]
         chunk = 25 if n < 16384 else (50 if n < 49152 else 100)
         if n >= 300_000:
-            # huge-n regime: seconds per OTF matvec — the host round trip
-            # is negligible, while smaller dispatches mean checkpoint/
-            # telemetry every ~2 min instead of every ~6
-            chunk = 25
+            # huge-n regime: SECONDS per OTF matvec.  Keep each dispatch
+            # under ~30 s of device time: both 504k chunk attempts (25 x
+            # 3.85 s ozaki, 25 x 10.2 s f64) crashed the TPU worker while
+            # every sub-35 s dispatch survives — consistent with a
+            # per-dispatch execution watchdog on the axon tunnel.  The
+            # host round trip (~0.1 s) is negligible against a 4 s matvec.
+            chunk = 6
     return PCGSolver(matvec, precon, chunk, exact_matvec=exact_matvec
                      ).solve(b, **kwargs)
 

@@ -158,6 +158,13 @@ def build_preconditioner(
             method=str((task or {}).get("nystrom_method", "chol_host")),
             rank_tol=float((task or {}).get("rank_tol", 1e-10)),
             apply_impl=apply_impl,
+            # explicit column-block override: the auto trigger keys on the
+            # per-buffer ceiling, but at n ~ 500k the MONOLITHIC whiten's
+            # transients blow TOTAL HBM before the factor hits that
+            # ceiling (measured: k=1536 compile needs 17.3 of 15.75 GB)
+            block_cols=(int(task["nystrom_block_cols"])
+                        if task and task.get("nystrom_block_cols")
+                        else None),
         )
 
     else:

@@ -75,6 +75,10 @@ def main():
     task = create_task(ds, N_TRAIN, ds, n_valid=50, sig=SIG,
                        solver="cg", perms=perms)
     task["matvec_dtype"] = args.matvec
+    if args.k > 1024:
+        # monolithic whiten transients blow TOTAL HBM past k~1024 at this
+        # n (17.3 GB needed at k=1536); force column blocks
+        task["nystrom_block_cols"] = 768
     # the f64 OTF matvec crashes the TPU worker inside the CG chunk at
     # this scale — no in-loop residual replacement; the true f64 residual
     # is verified with ONE standalone dispatch after the solve
