@@ -514,19 +514,32 @@ class OzakiMatvecState(NamedTuple):
     #                                right side (OTF mode only)
 
 
+# OTF-path accuracy knobs (the n ~ 500k regime).  The lam-floor bound
+# needs matvec accuracy ~1e-12 RELATIVE TO ||K v||; at M = 112k the
+# 6-digit OTF path measured 1.3e-10 vs f64 — enough to stall CG in the
+# 1/lam-amplified preconditioner subspace (round 4, n = 503,982: residual
+# oscillated at 6-9x ||b|| for 60 iterations with no net descent).
+# MLFF_OZAKI_DIGITS=7 divides the slicing truncation by 256;
+# MLFF_OZAKI_DIST64=1 computes the distance Gram (the exp-weight
+# amplifier) in true f64 — its contraction is only D-deep, so the
+# emulation cost there is a small fraction of the tile.
+_OZ_DIGITS = int(os.environ.get("MLFF_OZAKI_DIGITS", "6"))
+_OZ_DIST64 = os.environ.get("MLFF_OZAKI_DIST64", "0") == "1"
+
+
 def ozaki_matvec_state(cache: KernelCache) -> OzakiMatvecState:
-    """Build the once-per-solve sliced operand state (~6 bf16 digit copies
-    of each sliced operand: +1.5x its f64 bytes; the big A_exp1 slices
-    exist only in cached mode)."""
+    """Build the once-per-solve sliced operand state (~s bf16 digit copies
+    of each sliced operand: +1.5x its f64 bytes at s=6; the big A_exp1
+    slices exist only in cached mode)."""
     from . import ozaki
 
     if cache.A_exp1 is None:
         return OzakiMatvecState(
             cache=cache,
             Xq_sl=None,
-            Xqt_sl=ozaki.slice_digits(cache.Xqt, axis=0),
+            Xqt_sl=ozaki.slice_digits(cache.Xqt, axis=0, s=_OZ_DIGITS),
             Ae1_sl=None,
-            Xqt_sl_T=ozaki.slice_digits(cache.Xqt.T, axis=0),
+            Xqt_sl_T=ozaki.slice_digits(cache.Xqt.T, axis=0, s=_OZ_DIGITS),
         )
     return OzakiMatvecState(
         cache=cache,
@@ -589,8 +602,9 @@ def _matvec_ref_ozaki_otf(state: OzakiMatvecState, v: jnp.ndarray
     c0 = 5.0 / (3.0 * sig**2)
     nq = jnp.sum(cache.Xqt * cache.Xqt, axis=1)     # (M,)  f64
 
-    wtT_sl = ozaki.slice_digits(wt.T, axis=0)       # GEMM1/dist per-iter side
-    wt_sl = ozaki.slice_digits(wt, axis=0)          # GEMM3 right side
+    s = _OZ_DIGITS
+    wtT_sl = ozaki.slice_digits(wt.T, axis=0, s=s)  # GEMM1/dist per-iter side
+    wt_sl = ozaki.slice_digits(wt, axis=0, s=s)     # GEMM3 right side
 
     tile = _otf_tile(N, cache.Xqt.shape[0])
     n_tiles = -(-N // tile)
@@ -600,10 +614,16 @@ def _matvec_ref_ozaki_otf(state: OzakiMatvecState, v: jnp.ndarray
             [Xq_pad, jnp.zeros((n_tiles * tile - N, D), Xq_pad.dtype)])
 
     def one_tile(Xq_t):                              # (tile, D)
-        Xq_t_sl = ozaki.slice_digits(Xq_t, axis=1)
-        # distances via the Gram trick, Gram at ~2^-48 (the f32-grade Gram
-        # corrupts the exp weights beyond the lam-floor bound)
-        g = ozaki.gemm_presliced(Xq_t_sl, state.Xqt_sl_T)
+        Xq_t_sl = ozaki.slice_digits(Xq_t, axis=1, s=s)
+        # distances via the Gram trick (the f32-grade Gram corrupts the
+        # exp weights beyond the lam-floor bound); true-f64 option for the
+        # tightest accuracy — the D-deep contraction keeps its emulation
+        # cost a small fraction of the tile
+        if _OZ_DIST64:
+            g = jnp.matmul(Xq_t, cache.Xqt.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            g = ozaki.gemm_presliced(Xq_t_sl, state.Xqt_sl_T)
         na = jnp.sum(Xq_t * Xq_t, axis=1)
         d2 = jnp.maximum(na[:, None] + nq[None, :] - 2.0 * g, 0.0)
         dist = jnp.sqrt(d2)
@@ -611,10 +631,10 @@ def _matvec_ref_ozaki_otf(state: OzakiMatvecState, v: jnp.ndarray
         A_exp1 = A_exp * (1.0 + dist)
         dot = ozaki.gemm_presliced(Xq_t_sl, wtT_sl) - ct[None, :]
         G = A_exp * dot
-        G_sl = ozaki.slice_digits(G, axis=1)
+        G_sl = ozaki.slice_digits(G, axis=1, s=s)
         F1 = Xq_t * jnp.sum(G, axis=1, keepdims=True) \
             - ozaki.gemm_presliced(G_sl, state.Xqt_sl)
-        Ae1_sl = ozaki.slice_digits(A_exp1, axis=1)
+        Ae1_sl = ozaki.slice_digits(A_exp1, axis=1, s=s)
         F2 = ozaki.gemm_presliced(Ae1_sl, wt_sl)
         return F1 - F2                               # (tile, D)
 

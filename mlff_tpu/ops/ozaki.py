@@ -104,12 +104,15 @@ def gemm(A: jnp.ndarray, B: jnp.ndarray, s: int = DIGITS) -> jnp.ndarray:
     return gemm_presliced((sA, dA), (sB, dB), s=s)
 
 
-def gemm_presliced(A_sl, B_sl, s: int = DIGITS) -> jnp.ndarray:
+def gemm_presliced(A_sl, B_sl, s: int | None = None) -> jnp.ndarray:
     """gemm() on operands already run through slice_digits — the hot-loop
     form: iteration-invariant operands (kernel caches) slice ONCE and every
-    CG iteration pays only its own side's slicing."""
+    CG iteration pays only its own side's slicing.  ``s`` (default: the
+    operands' own digit count) sets the digit-pair truncation i + j < s."""
     sA, dA = A_sl
     sB, dB = B_sl
+    if s is None:
+        s = min(len(dA), len(dB))
     K = dA[0].shape[1]
     n_seg = -(-K // _SEG) if K > _SEG else 1
     K_pad = n_seg * _SEG if n_seg > 1 else K

@@ -1096,6 +1096,31 @@ def _nystrom_factor_split_colblocked(
                 inner[offs[b]:offs[b] + G.shape[1],
                       offs[a]:offs[a] + G.shape[0]] = G.T
     t.mark("gram+d2h")
+    # SELF-CONSISTENCY GUARD (same contract as _nystrom_factor_split's):
+    # the inner matrix must match the device-held B blocks' true Gram to
+    # ~lam ABSOLUTE or the (w2+lam)^-1/2 scaling corrupts the small-
+    # eigenvalue directions and the preconditioner silently stops
+    # preconditioning (the r3 depth-cliff failure signature: CG residual
+    # oscillating at ~10x ||b|| forever).  Probe every diagonal entry
+    # per block with the chunked df64 oracle; fall back to a host Gram
+    # of the d2h'd blocks on failure.
+    probe_err = 0.0
+    for a, B_a in enumerate(blocks):
+        m_a = B_a.shape[1]
+        idx = jnp.arange(m_a)
+        exact = np.asarray(_gram_entries_df64(B_a, idx, idx))
+        diag = np.diagonal(inner)[offs[a]:offs[a] + m_a]
+        probe_err = max(probe_err, float(np.abs(diag - exact).max()))
+    t.mark("gram_probe")
+    if probe_err > max(0.1 * lam, 1e-12):
+        log.warning(
+            "colblock device Gram failed the df64 spot check (max abs err "
+            "%.2e vs lam = %.0e): recomputing inner on host from the "
+            "blocks", probe_err, lam)
+        Bh = np.concatenate([np.asarray(B_c) for B_c in blocks], axis=1)
+        inner = Bh.T @ Bh
+        del Bh
+        t.mark("host_gram_fallback")
     W2_h = _host_inner_isqrt(inner, lam, "chol")
     t.mark("chol_W2")
     W2 = _put_factor(W2_h, "chol")
