@@ -205,6 +205,7 @@ def main():
     ap.add_argument("--molecule", default=None)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--band", type=float, default=0.30)
+    ap.add_argument("--max-rounds", type=int, default=12)
     ap.add_argument("--n-train", type=int, default=None,
                     help="calibrate at this scale against the per-scale "
                          "estimate_slope archive curve (default: the "
@@ -219,7 +220,8 @@ def main():
         with open(LOG) as f:
             log = json.load(f)
     for mol in todo:
-        res = calibrate(mol, band=args.band, n_train=args.n_train)
+        res = calibrate(mol, band=args.band, n_train=args.n_train,
+                        max_rounds=args.max_rounds)
         key = mol if args.n_train is None else f"{mol}@{args.n_train}"
         log[key] = res
         with open(LOG, "w") as f:
