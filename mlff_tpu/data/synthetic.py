@@ -44,6 +44,31 @@ def _base_geometry(n_atoms: int, rng: np.random.Generator) -> np.ndarray:
     return np.asarray(pts)
 
 
+def _tube_geometry(n_atoms: int, rng: np.random.Generator) -> np.ndarray:
+    """Quasi-1D helical tube lattice (the nanotube's geometry class).
+
+    The random-cluster base geometry produces a compact 3D blob whose
+    inverse-distance descriptor spectrum is measurably FAR harder than a
+    real nanotube's at the archived sample counts (round 4: every
+    difficulty axis left iteration counts >= 2.2x the archived curve —
+    see RESULTS.md).  A real (n, 0) tube is a regular quasi-1D lattice:
+    most pairwise distances follow the smooth axial progression, giving
+    the banded, fast-decaying distance structure the archived curves
+    reflect.  This helix puts ~MERIDIAN atoms per turn at bond-length
+    chord spacing with a matching per-turn rise, plus a small frozen
+    jitter so no two pair distances are exactly degenerate.
+    """
+    m = 12                       # atoms per turn
+    bond = 1.42                  # C-C bond length scale
+    r = bond / (2.0 * np.sin(np.pi / m))
+    rise = 2.13                  # per-turn axial rise (graphene-row-like)
+    i = np.arange(n_atoms)
+    theta = 2.0 * np.pi * i / m
+    pts = np.stack([r * np.cos(theta), r * np.sin(theta), i * (rise / m)],
+                   axis=1)
+    return pts + 0.03 * rng.normal(size=pts.shape)
+
+
 def _morse_energy_forces(R: np.ndarray, d0: np.ndarray, De: float, a: float):
     """Energy and forces of a pairwise Morse potential, batched over (M, A, 3).
 
@@ -72,6 +97,7 @@ def make_dataset(
     n_atoms: int | None = None,
     n_modes: int = 4,
     jitter: float = 0.005,
+    geometry: str = "cluster",
 ) -> dict:
     """Generate a synthetic dataset dict in the reference npz schema.
 
@@ -93,7 +119,8 @@ def make_dataset(
         if n_atoms is None:
             raise ValueError(f"unknown molecule {name!r}; pass n_atoms explicitly")
     rng = np.random.default_rng(seed)
-    base = _base_geometry(n_atoms, rng)
+    base = (_tube_geometry(n_atoms, rng) if geometry == "tube"
+            else _base_geometry(n_atoms, rng))
 
     iu, ju = np.triu_indices(n_atoms, 1)
     d0 = np.linalg.norm(base[iu] - base[ju], axis=1)
@@ -222,6 +249,9 @@ _BENCH_DIFFICULTY: dict = {
 }
 
 
+_BENCH_GEOMETRY: dict = {"nanotube": "tube"}
+
+
 def benchmark_perms(name: str) -> np.ndarray:
     """The molecule's permutation group (P, A), identity first."""
     z, gens = _BENCH_MOLECULES[name]
@@ -258,6 +288,9 @@ def make_benchmark_dataset(name: str, n_samples: int, seed: int = 11,
             "to the reference's archived curves for this molecule.", name)
     settings = dict(_BENCH_DIFFICULTY.get(name, dict(n_modes=21,
                                                      temperature=0.25)))
+    # geometry class per molecule: the nanotube is a quasi-1D tube lattice
+    # (the random cluster's spectrum is structurally too hard — round 4)
+    settings.setdefault("geometry", _BENCH_GEOMETRY.get(name, "cluster"))
     by_n = settings.pop("by_n_train", None)
     if by_n:
         # overlay the calibration nearest the caller's n_train (preferred)
