@@ -26,12 +26,11 @@ warm-compile-cache, 12 KB-executable dispatches; WHICH dispatch it lands
 on varies run to run — tools/probe_tunnel_tax.py, probe_tunnel_tax2.py).
 Two mitigations, both fully disclosed in the JSON: (1) a timed
 problem-independent WARM-UP (``tunnel_warmup_s``) that sometimes absorbs
-the stall; (2) the operator-init cost enters ``value`` as a WARM
-re-measure of the identical build dispatch (``t_cache_build_warm_s``) —
-the compute the reference's number actually contains — while the
-lottery-exposed cold number is reported alongside
-(``t_cache_build_cold_s``, ``solve_cold_s``, ``vs_baseline_cold``) and
-stays inside ``wall_total_s``.
+the stall; (2) the identical build dispatch is re-measured warm
+(``t_cache_build_warm_s``) to bound the lottery's share.  ``value`` is
+the COLD number — every second of one actually-executed run — with the
+warm-substituted total reported alongside (``solve_warm_s``,
+``vs_baseline_warm``; they differ by ~4% in clean weather).
 
 Configuration choices (ours, measured on hardware — see RESULTS.md):
   * preconditioner 'lev_random' (uniform sampling is ~5x worse on the
@@ -158,13 +157,36 @@ def main():
         f"(cold: {t_cache_cold:.1f}s)")
 
     # scope-matched to the reference's total_time_solve: operator init
-    # (cache build) + preconditioner + CG
-    solve_s = t_cache_warm + t_pre + t_cg
-    solve_cold_s = (t_cache_cold if np.isfinite(t_cache_cold) else
-                    t_cache_warm) + t_pre + t_cg
+    # (cache build) + preconditioner + CG.  The PRIMARY ``value`` is the
+    # cold number — every second of one actually-executed run (ADVICE r4:
+    # the warm re-measure substitution made the headline correspond to no
+    # single run); the warm re-measure stays as ``solve_warm_s`` to bound
+    # how much of it is the tunnel's dispatch lottery.
+    solve_warm_s = t_cache_warm + t_pre + t_cg
+    solve_s = (t_cache_cold if np.isfinite(t_cache_cold) else
+               t_cache_warm) + t_pre + t_cg
     wall = t_warm + t_setup + t_train
 
-    print(json.dumps({
+    # Matvec throughput + roofline accounting (BASELINE.md tracked metric).
+    # The ozaki matvec's three (N, M)-shaped GEMMs move 2*N*M*D f64-
+    # equivalent flops each; each digit-pair term is a native bf16 MXU
+    # pass, so the MXU sees ~n_pairs x that.  t_cg/iter also contains the
+    # Woodbury apply and loop overhead, so both rates are LOWER bounds on
+    # the matvec-only throughput.
+    iters = max(1, int(model["solver_iters"]))
+    N_pts = int(X.shape[0])
+    P = int(perms.shape[0])
+    D = int(X.shape[1])
+    M = N_pts * P
+    s_iter = t_cg / iters
+    nnz_per_s = float(n) * n / s_iter          # dense K is n x n
+    f64_eq_flops = 3 * 2.0 * N_pts * M * D     # per iteration
+    n_digit_pairs = 21                         # s = 6 cached digits
+    mxu_bf16_flops = n_digit_pairs * f64_eq_flops
+    V5E_BF16_PEAK = 197e12                     # v5e MXU peak (bf16 FLOP/s)
+    mxu_util_pct = 100.0 * mxu_bf16_flops / s_iter / V5E_BF16_PEAK
+
+    out = {
         "metric": f"time_to_solution_ethanol_n{n}",
         "value": round(solve_s, 2),
         "unit": "s",
@@ -182,12 +204,21 @@ def main():
         "t_cg_s": round(t_cg, 2),
         "t_finalize_s": round(t_finalize, 2) if np.isfinite(t_finalize) else None,
         "tunnel_warmup_s": round(t_warm, 2),
-        "solve_cold_s": round(solve_cold_s, 2),
+        "solve_warm_s": round(solve_warm_s, 2),
         "wall_total_s": round(wall, 2),
+        "matvec_nnz_per_s": float(f"{nnz_per_s:.3g}"),
+        "mxu_util_pct": round(mxu_util_pct, 2),
         "vs_baseline": round(BASELINE_S / solve_s, 2),
-        "vs_baseline_cold": round(BASELINE_S / solve_cold_s, 2),
+        "vs_baseline_warm": round(BASELINE_S / solve_warm_s, 2),
         "vs_baseline_wall": round(BASELINE_S / wall, 2),
-    }))
+        # North-star trajectory (BASELINE.md: >= 20x on a v5e-8).  With
+        # ONE chip the honest budget is >= 2.5x/chip; vs_baseline is the
+        # measured per-chip point on that trajectory.
+        "north_star": {"target_vs_baseline": 20.0, "chips_assumed": 8,
+                       "per_chip_budget": 2.5,
+                       "per_chip_measured": round(BASELINE_S / solve_s, 2)},
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -518,13 +518,15 @@ class OzakiMatvecState(NamedTuple):
 # needs matvec accuracy ~1e-12 RELATIVE TO ||K v||; at M = 112k the
 # 6-digit OTF path measured 1.3e-10 vs f64 — enough to stall CG in the
 # 1/lam-amplified preconditioner subspace (round 4, n = 503,982: residual
-# oscillated at 6-9x ||b|| for 60 iterations with no net descent).
-# MLFF_OZAKI_DIGITS=7 divides the slicing truncation by 256;
-# MLFF_OZAKI_DIST64=1 computes the distance Gram (the exp-weight
-# amplifier) in true f64 — its contraction is only D-deep, so the
-# emulation cost there is a small fraction of the tile.
-_OZ_DIGITS = int(os.environ.get("MLFF_OZAKI_DIGITS", "6"))
-_OZ_DIST64 = os.environ.get("MLFF_OZAKI_DIST64", "0") == "1"
+# oscillated at 6-9x ||b|| for 60 iterations with no net descent).  The
+# OTF DEFAULT is therefore the validated huge-n configuration: s = 7
+# digits (divides the slicing truncation by 256; ground truth vs the CPU
+# IEEE-f64 oracle at n = 503,982: 3.54e-13) and a true-f64 distance Gram
+# (the exp-weight amplifier; its contraction is only D-deep, so the
+# emulation cost is a small fraction of the tile).  MLFF_OZAKI_DIGITS /
+# MLFF_OZAKI_DIST64 override (e.g. =6 / =0 to measure the cheap config).
+_OZ_DIGITS = int(os.environ.get("MLFF_OZAKI_DIGITS", "7"))
+_OZ_DIST64 = os.environ.get("MLFF_OZAKI_DIST64", "1") == "1"
 
 
 def ozaki_matvec_state(cache: KernelCache) -> OzakiMatvecState:

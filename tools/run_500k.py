@@ -51,7 +51,10 @@ def main():
     ap.add_argument("--k", type=int, default=1024)
     ap.add_argument("--maxiter", type=int, default=None)
     ap.add_argument("--probe", action="store_true")
-    ap.add_argument("--matvec", default="float64")
+    # 'ozaki' is the validated huge-n configuration: the emulated-f64 OTF
+    # matvec both crashes the TPU worker inside the CG chunk at this scale
+    # and is 368x LESS accurate vs the CPU IEEE-f64 oracle (RESULTS.md)
+    ap.add_argument("--matvec", default="ozaki")
     ap.add_argument("--ckpt", default="/tmp/eth500k_ckpt.npz")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -96,7 +99,12 @@ def main():
 
         m_ck = load_model(args.ckpt)
         task_r = create_task_from_model(m_ck, ds)
-        for key in ("matvec_dtype", "solver_maxiter"):
+        # carry EVERY huge-n task override into the resumed task: dropping
+        # residual_replacement re-enables the in-loop f64 backstop that
+        # crashes the worker at this scale, and dropping nystrom_block_cols
+        # re-hits the measured 17.3 GB monolithic-whiten compile OOM
+        for key in ("matvec_dtype", "solver_maxiter", "residual_replacement",
+                    "nystrom_block_cols"):
             if key in task:
                 task_r[key] = task[key]
         task = task_r
