@@ -50,6 +50,17 @@ sys.path.insert(0, "/root/repo")
 ARCHIVE = "/root/reference/data/data/cg_performance_n=15750"
 SLOPE_ARCHIVE = ("/root/reference/data/data/rule_of_thumb/"
                  "estimate_slope, nmax = 31 500")
+# Per-scale archives: one lev_random k-sweep per molecule at kernel sizes
+# 75k / 157.5k / 504k (keys '<n_train>_lev_random_*', same schema as the
+# estimate_slope sweeps; the 'platform' uname_result entry needs the
+# tolerant unpickler).  These are THE calibration targets for the
+# large-n honest rows (VERDICT r4 next 1).
+SCALE_ARCHIVES = [
+    SLOPE_ARCHIVE,
+    "/root/reference/data/data/rule_of_thumb/n = 75000",
+    "/root/reference/data/data/rule_of_thumb/n = 157500",
+    "/root/reference/data/data/rule_of_thumb/n = 500000",
+]
 LOG = os.path.join(os.path.dirname(__file__), "calibration_log.json")
 
 # archived n_train per molecule (the 'points<N>' fragment of the filenames)
@@ -78,18 +89,19 @@ def archived_curve(molecule: str, n_train: int | None = None):
     (cg_performance_n=15750).  With ``n_train``, the per-scale lev_random
     curve from the estimate_slope sweeps (keys '<n_train>_lev_random_*')."""
     if n_train is not None and n_train != ARCHIVE_POINTS.get(molecule):
-        for fn in os.listdir(SLOPE_ARCHIVE):
-            if molecule not in fn:
-                continue
-            with open(os.path.join(SLOPE_ARCHIVE, fn), "rb") as f:
-                d = _TolerantUnpickler(f).load()
-            key = f"{n_train}_lev_random_percentage"
-            if key not in d:
-                continue
-            return (np.asarray(d[key], dtype=float),
-                    np.asarray(d[f"{n_train}_lev_random_cgsteps"],
-                               dtype=float),
-                    None)
+        for arch in SCALE_ARCHIVES:
+            for fn in os.listdir(arch):
+                if molecule not in fn:
+                    continue
+                with open(os.path.join(arch, fn), "rb") as f:
+                    d = _TolerantUnpickler(f).load()
+                key = f"{n_train}_lev_random_percentage"
+                if key not in d:
+                    continue
+                return (np.asarray(d[key], dtype=float),
+                        np.asarray(d[f"{n_train}_lev_random_cgsteps"],
+                                   dtype=float),
+                        None)
         raise FileNotFoundError(f"{molecule} n_train={n_train}")
     for fn in os.listdir(ARCHIVE):
         if molecule in fn:
@@ -114,18 +126,36 @@ def measure(molecule: str, settings: dict, p: float, maxiter: int,
     task = create_task(ds, n_train, ds, n_valid=40, sig=10.0, solver="cg",
                        perms=perms)
     task["solver_maxiter"] = maxiter
+    # iteration counts are matvec-insensitive (292 vs 287 at 31k) but the
+    # large-n probes are 2.6x faster on the ozaki matvec; default it on TPU
+    if os.environ.get("MLFF_CAL_MATVEC"):
+        task["matvec_dtype"] = os.environ["MLFF_CAL_MATVEC"]
+    elif _PLATFORM == "tpu":
+        task["matvec_dtype"] = "ozaki"
     model = Trainer().train(task, break_percentage=p,
                             str_preconditioner="lev_random")
     return int(model["solver_iters"])
 
 
 def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 12,
-              n_train: int | None = None):
+              n_train: int | None = None, p1: float | None = None,
+              p2: float | None = None, start: dict | None = None):
+    """``p1``/``p2`` select the archived operating points nearest the given
+    k/n (defaults 0.049/0.105 — the cg_performance protocol).  At the
+    large-n scales the defaults are HBM-infeasible on one chip (the (n, k)
+    factor must satisfy n*k*8 < ~7.5e9), so callers pass feasible points,
+    e.g. --p1 0.026 --p2 0.015 at n = 157.5k.  ``p2 = 0`` skips the
+    second-point slope check (504k: only one feasible k).  ``start`` seeds
+    the search with explicit settings (e.g. a temperature extrapolated
+    from smaller scales)."""
     perc, steps, n_arch = archived_curve(molecule, n_train)
-    p1 = float(perc[np.argmin(np.abs(perc - 0.049))])
-    p2 = float(perc[np.argmin(np.abs(perc - 0.105))])
-    t1 = float(steps[np.argmin(np.abs(perc - 0.049))])
-    t2 = float(steps[np.argmin(np.abs(perc - 0.105))])
+    p1q = 0.049 if p1 is None else p1
+    p2q = 0.105 if p2 is None else p2
+    skip_p2 = p2 is not None and p2 == 0.0
+    p1 = float(perc[np.argmin(np.abs(perc - p1q))])
+    p2 = float(perc[np.argmin(np.abs(perc - p2q))])
+    t1 = float(steps[np.argmin(np.abs(perc - p1q))])
+    t2 = float(steps[np.argmin(np.abs(perc - p2q))])
     print(f"[{molecule}] archived: {t1:.0f} @ k/n={p1}, {t2:.0f} @ k/n={p2}",
           flush=True)
 
@@ -134,6 +164,8 @@ def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 12,
     base = dict(_BENCH_DIFFICULTY.get(
         molecule, dict(n_modes=min(21, 3 * n_atoms), temperature=0.25)))
     base.pop("by_n_train", None)
+    if start:
+        base.update(start)
 
     history = []
     T = float(base.get("temperature", 0.25))
@@ -158,6 +190,10 @@ def calibrate(molecule: str, band: float = 0.30, max_rounds: int = 12,
         history.append(dict(settings=settings, p=p1, ours=ours1, target=t1))
 
         if 1 - band <= ratio1 <= 1 + band:
+            if skip_p2:
+                return dict(molecule=molecule, settings=settings,
+                            converged=True, points=[[p1, ours1, t1]],
+                            single_point=True, history=history)
             ours2 = measure(molecule, settings, p2, int(min(4 * t2, 60000)),
                             n_train=n_train)
             ratio2 = ours2 / t2
@@ -208,9 +244,18 @@ def main():
     ap.add_argument("--max-rounds", type=int, default=12)
     ap.add_argument("--n-train", type=int, default=None,
                     help="calibrate at this scale against the per-scale "
-                         "estimate_slope archive curve (default: the "
-                         "n~=15,741 cg_performance curve); logged as "
+                         "archive curve (estimate_slope or the n = 75k/"
+                         "157.5k/504k sweeps; default: the n~=15,741 "
+                         "cg_performance curve); logged as "
                          "'<molecule>@<n_train>'")
+    ap.add_argument("--p1", type=float, default=None,
+                    help="k/n of the primary operating point (default "
+                         "0.049; pass an HBM-feasible ratio at large n)")
+    ap.add_argument("--p2", type=float, default=None,
+                    help="k/n of the slope-check point (default 0.105; "
+                         "0 skips the check — single-point calibration)")
+    ap.add_argument("--start", type=json.loads, default=None,
+                    help='seed settings, e.g. \'{"temperature": 0.09}\'')
     args = ap.parse_args()
 
     todo = (["uracil", "toluene", "azobenzene", "aspirin", "catcher",
@@ -221,7 +266,8 @@ def main():
             log = json.load(f)
     for mol in todo:
         res = calibrate(mol, band=args.band, n_train=args.n_train,
-                        max_rounds=args.max_rounds)
+                        max_rounds=args.max_rounds, p1=args.p1, p2=args.p2,
+                        start=args.start)
         key = mol if args.n_train is None else f"{mol}@{args.n_train}"
         log[key] = res
         with open(LOG, "w") as f:
