@@ -28,6 +28,7 @@ emulated/unsupported and these are negligible in the profile.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, NamedTuple
@@ -38,6 +39,7 @@ import numpy as np
 import scipy.linalg
 
 from ..ops import kernel as knl
+from ..ops import ozaki
 from ..ops.descriptor import DescriptorSpec
 from ..utils.log import get_logger
 
@@ -54,6 +56,58 @@ log = get_logger(__name__)
 # (ops/kernel.py) always carried HIGHEST, which is why assembled columns
 # match CPU to 2e-15 while the factor build did not.
 _HP = jax.lax.Precision.HIGHEST
+
+# ---------------------------------------------------------------------------
+# Factor-build GEMM engine selection (round 5): the O(n m^2) whiten + Gram
+# products — the dominant device cost of the Nystrom build (6.97 s of the
+# 13.98 s round-4 headline; 493 s at aspirin n=158k, k=4096) — can run
+# either as emulated-f64 matmuls with depth-capped Gram accumulation
+# (_F64_SAFE_DEPTH, the round-3 emulation-cliff fix) or through the Ozaki
+# exact-slice engine (ops/ozaki.py: ~2^-(8s) relative accuracy INDEPENDENT
+# of contraction depth, at native bf16 MXU speed — the same engine that
+# replaced the f64 matvec, measured 2.6x faster AND 368x more accurate at
+# n=504k).  'auto' = ozaki on TPU (where f64 is emulated), native f64
+# elsewhere (CPU f64 GEMMs are real and faster than digit passes).
+# ---------------------------------------------------------------------------
+_BUILD_GEMM_MODE: str | None = None
+# s = 7 digits: ~2^-56 slicing truncation; Gram absolute error at n = 504k
+# stays ~1e-12-grade, inside the 0.1*lam self-consistency guard threshold
+# (the guard still runs and falls back to a host Gram on violation).
+_BUILD_DIGITS = int(os.environ.get("MLFF_BUILD_DIGITS", "7"))
+
+
+def _build_mode() -> str:
+    global _BUILD_GEMM_MODE
+    if _BUILD_GEMM_MODE is None:
+        mode = os.environ.get("MLFF_BUILD_GEMM", "auto")
+        if mode == "auto":
+            mode = "ozaki" if jax.default_backend() == "tpu" else "f64"
+        _BUILD_GEMM_MODE = mode
+    return _BUILD_GEMM_MODE
+
+
+def _oz_slice_T(X: jnp.ndarray, s: int):
+    """One slicing pass serving BOTH operands of a Gram X^T X: returns
+    (left, right) where right = slice_digits(X, axis=0) and left is the
+    same scales/digits transposed (per-column scales of X are per-row
+    scales of X^T) — dot_general absorbs the transposes without copies."""
+    sc, dg = ozaki.slice_digits(X, axis=0, s=s)
+    return (sc.T, [d.T for d in dg]), (sc, dg)
+
+
+def _gram_acc_ozaki(acc: jnp.ndarray, tr: jnp.ndarray, s: int) -> jnp.ndarray:
+    """acc += tr^T tr via exact-slice digit products: error ~2^-(8s) of the
+    per-column scales, independent of the row count (no depth cap needed —
+    every 256-deep segment accumulation is exact by construction)."""
+    left, right = _oz_slice_T(tr, s)
+    return acc + ozaki.gemm_presliced(left, right)
+
+
+def _gram_pair_acc_ozaki(acc, Ab, Bb, s: int):
+    """acc += Ab^T Bb, exact-slice version of _gram_pair_acc_safe."""
+    left, _ = _oz_slice_T(Ab, s)
+    right = ozaki.slice_digits(Bb, axis=0, s=s)
+    return acc + ozaki.gemm_presliced(left, right)
 
 
 class WoodburyPreconditioner(NamedTuple):
@@ -664,7 +718,8 @@ def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburySplitPreconditio
     chunk = min(n, _GEMM_ROW_CHUNK)
     tril = jnp.asarray(np.tril_indices(k))
     inner = _unpack_sym(
-        np.asarray(_gram_nm_tril(L, tril, chunk)), k)      # d2h k(k+1)/2
+        np.asarray(_gram_nm_tril(L, tril, chunk, _build_mode())),
+        k)                                                 # d2h k(k+1)/2
     W2 = jnp.asarray(_host_inner_isqrt(inner, lam, "chol"))
     B, W2 = _pad_split(L, W2)
     return WoodburySplitPreconditioner(
@@ -896,9 +951,10 @@ def _nystrom_factor_split(
     # fused whiten+Gram: one pass, no full-factor relayout copy or hoisted
     # X64Split (a standalone Gram compile-OOMed at n=500k — see the
     # _whiten_gram_nm_tril docstring)
-    B_t, inner_packed = _whiten_gram_nm_tril(K_nm, W1, tril, chunk)
+    B_t, inner_packed = _whiten_gram_nm_tril(K_nm, W1, tril, chunk,
+                                             _build_mode())
     inner_packed.block_until_ready()
-    t.mark("whiten+gram")
+    t.mark(f"whiten+gram[{_build_mode()}]")
     inner = _unpack_sym(np.asarray(inner_packed), m)       # d2h m(m+1)/2
     t.mark("d2h_inner")
     # GUARD (load-bearing, see the self-consistency note above): inner must
@@ -972,10 +1028,10 @@ def _gram_entries_df64(B: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray):
     return out.reshape(-1)[:k]
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6), donate_argnums=(0,))
 def _whiten_colblock(
     K_c: jnp.ndarray, K_prev: tuple, W1: jnp.ndarray,
-    off_c: int, offs_prev: tuple, chunk: int,
+    off_c: int, offs_prev: tuple, chunk: int, impl: str = "f64",
 ) -> jnp.ndarray:
     """B_c = sum_{j<=c} K_j W1[j-block, c-block], row-chunked, with K_c's
     buffer donated (the j=c term reads each row window before the update
@@ -987,11 +1043,25 @@ def _whiten_colblock(
     hold original kernel columns."""
     n, mc = K_c.shape
     n_full = (n // chunk) * chunk
+    s = _BUILD_DIGITS
     W_cc = W1[off_c:off_c + mc, off_c:off_c + mc]
     W_jcs = [W1[oj:oj + Kj.shape[1], off_c:off_c + mc]
              for Kj, oj in zip(K_prev, offs_prev)]
+    if impl == "ozaki":
+        W_cc_sl = ozaki.slice_digits(W_cc, axis=0, s=s)
+        W_jc_sls = [ozaki.slice_digits(W, axis=0, s=s) for W in W_jcs]
 
     def transform(B, start, size):
+        if impl == "ozaki":
+            rows = jax.lax.dynamic_slice(B, (start, 0), (size, mc))
+            blk = ozaki.gemm_presliced(
+                ozaki.slice_digits(rows, axis=1, s=s), W_cc_sl)
+            for Kj, W_jc_sl in zip(K_prev, W_jc_sls):
+                kj = jax.lax.dynamic_slice(Kj, (start, 0),
+                                           (size, Kj.shape[1]))
+                blk = blk + ozaki.gemm_presliced(
+                    ozaki.slice_digits(kj, axis=1, s=s), W_jc_sl)
+            return blk
         blk = jnp.matmul(jax.lax.dynamic_slice(B, (start, 0), (size, mc)),
                          W_cc, precision=_HP)
         for Kj, W_jc in zip(K_prev, W_jcs):
@@ -1015,17 +1085,23 @@ def _whiten_colblock(
     return B
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _gram_pair(Ba: jnp.ndarray, Bb: jnp.ndarray, chunk: int) -> jnp.ndarray:
+@partial(jax.jit, static_argnums=(2, 3))
+def _gram_pair(Ba: jnp.ndarray, Bb: jnp.ndarray, chunk: int,
+               impl: str = "f64") -> jnp.ndarray:
     """Ba^T Bb (m_a, m_b) accumulated over row chunks (masked ragged tail)."""
     n, ma = Ba.shape
     mb = Bb.shape[1]
     n_full = (n // chunk) * chunk
 
+    def gacc(acc, Ab, Bb_):
+        if impl == "ozaki":
+            return _gram_pair_acc_ozaki(acc, Ab, Bb_, _BUILD_DIGITS)
+        return _gram_pair_acc_safe(acc, Ab, Bb_)
+
     def body(i, acc):
         Ab = jax.lax.dynamic_slice(Ba, (i * chunk, 0), (chunk, ma))
         Bb_ = jax.lax.dynamic_slice(Bb, (i * chunk, 0), (chunk, mb))
-        return _gram_pair_acc_safe(acc, Ab, Bb_)
+        return gacc(acc, Ab, Bb_)
 
     acc = jax.lax.fori_loop(0, n // chunk, body,
                             jnp.zeros((ma, mb), Ba.dtype))
@@ -1034,7 +1110,7 @@ def _gram_pair(Ba: jnp.ndarray, Bb: jnp.ndarray, chunk: int) -> jnp.ndarray:
         Ab = jax.lax.dynamic_slice(Ba, (start, 0), (chunk, ma))
         Bb_ = jax.lax.dynamic_slice(Bb, (start, 0), (chunk, mb))
         fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
-        acc = _gram_pair_acc_safe(acc, jnp.where(fresh, Ab, 0.0), Bb_)
+        acc = gacc(acc, jnp.where(fresh, Ab, 0.0), Bb_)
     return acc
 
 
@@ -1083,13 +1159,14 @@ def _nystrom_factor_split_colblocked(
     for c in reversed(range(len(blocks))):
         blocks[c] = _whiten_colblock(
             blocks[c], tuple(blocks[:c]), W1,
-            offs[c], tuple(offs[:c]), chunk)
+            offs[c], tuple(offs[:c]), chunk, _build_mode())
     jax.block_until_ready(blocks)
-    t.mark("whiten")
+    t.mark(f"whiten[{_build_mode()}]")
     inner = np.zeros((m, m))
     for a in range(len(blocks)):
         for b in range(a, len(blocks)):
-            G = np.asarray(_gram_pair(blocks[a], blocks[b], chunk))
+            G = np.asarray(_gram_pair(blocks[a], blocks[b], chunk,
+                                      _build_mode()))
             inner[offs[a]:offs[a] + G.shape[0],
                   offs[b]:offs[b] + G.shape[1]] = G
             if b != a:
@@ -1262,9 +1339,9 @@ def _gather_rows_tril(K_nm, idxs, tril):
     return K_mm[tril[0], tril[1]]
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _gram_nm_tril(B_t, tril, chunk):
-    G = _gram_nm(B_t, chunk)
+@partial(jax.jit, static_argnums=(2, 3))
+def _gram_nm_tril(B_t, tril, chunk, impl: str = "f64"):
+    G = _gram_nm(B_t, chunk, impl)
     return G[tril[0], tril[1]]
 
 
@@ -1306,9 +1383,9 @@ def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, chunk: int):
     return B
 
 
-@partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
 def _whiten_gram_nm_tril(K_nm: jnp.ndarray, W1: jnp.ndarray,
-                         tril: jnp.ndarray, chunk: int):
+                         tril: jnp.ndarray, chunk: int, impl: str = "f64"):
     """Fused in-place whiten + Gram: B = K_nm W1 (K_nm donated) AND
     inner = B^T B, packed lower triangle — in ONE pass over the rows.
 
@@ -1323,40 +1400,64 @@ def _whiten_gram_nm_tril(K_nm: jnp.ndarray, W1: jnp.ndarray,
 
     Self-consistency (load-bearing, see _nystrom_factor_split): the Gram
     addend and the stored factor rows are the SAME traced value `tr`, so
-    inner is exactly the Gram of the stored B."""
+    inner is exactly the Gram of the stored B.
+
+    ``impl='ozaki'`` runs both the whiten GEMM and the Gram through the
+    exact-slice engine (native bf16 MXU passes, ~2^-56 at s=7): W1's
+    digits are sliced ONCE outside the row loop; each chunk slices its
+    kernel rows for the whiten and its whitened rows once for both Gram
+    operands (_oz_slice_T)."""
     n, m = K_nm.shape
     n_full = (n // chunk) * chunk
+    s = _BUILD_DIGITS
+    W1_sl = ozaki.slice_digits(W1, axis=0, s=s) if impl == "ozaki" else None
+
+    def transform(blk):
+        if impl == "ozaki":
+            return ozaki.gemm_presliced(
+                ozaki.slice_digits(blk, axis=1, s=s), W1_sl)
+        return jnp.matmul(blk, W1, precision=_HP)
+
+    def gacc(acc, tr):
+        if impl == "ozaki":
+            return _gram_acc_ozaki(acc, tr, s)
+        return _gram_acc_safe(acc, tr)
 
     def body(i, carry):
         B, acc = carry
         blk = jax.lax.dynamic_slice(B, (i * chunk, 0), (chunk, m))
-        tr = jnp.matmul(blk, W1, precision=_HP)
+        tr = transform(blk)
         return (jax.lax.dynamic_update_slice(B, tr, (i * chunk, 0)),
-                _gram_acc_safe(acc, tr))
+                gacc(acc, tr))
 
     B, acc = jax.lax.fori_loop(
         0, n // chunk, body, (K_nm, jnp.zeros((m, m), K_nm.dtype)))
     if n_full != n:
         start = n - chunk
         blk = jax.lax.dynamic_slice(B, (start, 0), (chunk, m))
-        tr = jnp.matmul(blk, W1, precision=_HP)
+        tr = transform(blk)
         fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
-        acc = _gram_acc_safe(acc, jnp.where(fresh, tr, 0.0))
+        acc = gacc(acc, jnp.where(fresh, tr, 0.0))
         B = jax.lax.dynamic_update_slice(
             B, jnp.where(fresh, tr, blk), (start, 0))
     return B, acc[tril[0], tril[1]]
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _gram_nm(B_t: jnp.ndarray, chunk: int) -> jnp.ndarray:
+@partial(jax.jit, static_argnums=(1, 2))
+def _gram_nm(B_t: jnp.ndarray, chunk: int, impl: str = "f64") -> jnp.ndarray:
     """Gram B B^T = B_t^T B_t (m, m), accumulated over row chunks; the
     ragged tail window is row-masked so no padding is needed."""
     n, m = B_t.shape
     n_full = (n // chunk) * chunk
 
+    def gacc(acc, Bb):
+        if impl == "ozaki":
+            return _gram_acc_ozaki(acc, Bb, _BUILD_DIGITS)
+        return _gram_acc_safe(acc, Bb)
+
     def body(i, acc):
         Bb = jax.lax.dynamic_slice(B_t, (i * chunk, 0), (chunk, m))
-        return _gram_acc_safe(acc, Bb)
+        return gacc(acc, Bb)
 
     acc = jax.lax.fori_loop(0, n // chunk, body,
                             jnp.zeros((m, m), B_t.dtype))
@@ -1364,7 +1465,7 @@ def _gram_nm(B_t: jnp.ndarray, chunk: int) -> jnp.ndarray:
         start = n - chunk
         Bb = jax.lax.dynamic_slice(B_t, (start, 0), (chunk, m))
         fresh = (jnp.arange(chunk) >= n_full - start)[:, None]
-        acc = _gram_acc_safe(acc, jnp.where(fresh, Bb, 0.0))
+        acc = gacc(acc, jnp.where(fresh, Bb, 0.0))
     return acc
 
 
