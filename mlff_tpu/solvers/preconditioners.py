@@ -58,22 +58,36 @@ log = get_logger(__name__)
 _HP = jax.lax.Precision.HIGHEST
 
 # ---------------------------------------------------------------------------
-# Factor-build GEMM engine selection (round 5): the O(n m^2) whiten + Gram
-# products — the dominant device cost of the Nystrom build (6.97 s of the
-# 13.98 s round-4 headline; 493 s at aspirin n=158k, k=4096) — can run
-# either as emulated-f64 matmuls with depth-capped Gram accumulation
-# (_F64_SAFE_DEPTH, the round-3 emulation-cliff fix) or through the Ozaki
-# exact-slice engine (ops/ozaki.py: ~2^-(8s) relative accuracy INDEPENDENT
-# of contraction depth, at native bf16 MXU speed — the same engine that
-# replaced the f64 matvec, measured 2.6x faster AND 368x more accurate at
-# n=504k).  'auto' = ozaki on TPU (where f64 is emulated), native f64
-# elsewhere (CPU f64 GEMMs are real and faster than digit passes).
+# Factor-build GEMM engine selection (round 5).  The O(n m^2) whiten + Gram
+# products can run either as emulated-f64 matmuls with depth-capped Gram
+# accumulation (_F64_SAFE_DEPTH, the round-3 emulation-cliff fix) or
+# through the Ozaki exact-slice engine (ops/ozaki.py).
+#
+# MEASURED NEGATIVE (2026-08-21, hardware): ozaki for the MONOLITHIC
+# whiten+gram at n = 31,482, m = 1536 runs 5.7-8.2 s vs the f64 path's
+# 0.5-0.7 s — ~10x SLOWER.  Root cause: at deep contractions (m >= 1536)
+# the engine's cross-segment f64 accumulation — n_pairs(28) x n_seg(m/256)
+# f64 adds over the full (chunk, m) output — dominates; the matvec's 2.6x
+# win came from D = 36-deep contractions where that term is a single
+# conversion.  The f64 emulated matmul amortizes its own splitting far
+# better on deep contractions.  'auto' therefore keeps f64 EVERYWHERE
+# except the huge-n colblock inner Gram, where the f64 path is an
+# ACCURACY failure, not a speed choice: at n = 503,982 the depth-capped
+# f64 Gram carries a measured 1.46e-11 bias (> the 0.1*lam = 1e-11 guard)
+# and triggers a ~9-minute host-Gram fallback — the ozaki Gram's exact
+# segments beat that by an order of magnitude even at its slower rate.
+# MLFF_BUILD_GEMM=ozaki|f64 forces one engine globally.
 # ---------------------------------------------------------------------------
 _BUILD_GEMM_MODE: str | None = None
 # s = 7 digits: ~2^-56 slicing truncation; Gram absolute error at n = 504k
 # stays ~1e-12-grade, inside the 0.1*lam self-consistency guard threshold
 # (the guard still runs and falls back to a host Gram on violation).
 _BUILD_DIGITS = int(os.environ.get("MLFF_BUILD_DIGITS", "7"))
+# above this row count the depth-capped f64 Gram's accumulated bias
+# approaches 0.1*lam (measured 1.46e-11 at n = 503,982) — switch the
+# colblock Gram to exact-slice digits before the guard has to fire
+_OZAKI_GRAM_MIN_ROWS = int(float(os.environ.get("MLFF_OZAKI_GRAM_MIN_ROWS",
+                                                "300000")))
 
 
 def _build_mode() -> str:
@@ -81,9 +95,20 @@ def _build_mode() -> str:
     if _BUILD_GEMM_MODE is None:
         mode = os.environ.get("MLFF_BUILD_GEMM", "auto")
         if mode == "auto":
-            mode = "ozaki" if jax.default_backend() == "tpu" else "f64"
+            mode = "f64"  # measured optimum for the monolithic build
         _BUILD_GEMM_MODE = mode
     return _BUILD_GEMM_MODE
+
+
+def _gram_impl_for(n_rows: int) -> str:
+    """Gram engine by row count: f64 below the measured bias scale,
+    exact-slice ozaki above it (see the engine-selection note)."""
+    if _build_mode() == "ozaki":
+        return "ozaki"
+    if (os.environ.get("MLFF_BUILD_GEMM", "auto") == "auto"
+            and n_rows >= _OZAKI_GRAM_MIN_ROWS):
+        return "ozaki"
+    return _build_mode()
 
 
 def _oz_slice_T(X: jnp.ndarray, s: int):
@@ -1163,10 +1188,12 @@ def _nystrom_factor_split_colblocked(
     jax.block_until_ready(blocks)
     t.mark(f"whiten[{_build_mode()}]")
     inner = np.zeros((m, m))
+    gram_impl = _gram_impl_for(n)
+    log.info("colblock inner Gram impl: %s (n = %d)", gram_impl, n)
     for a in range(len(blocks)):
         for b in range(a, len(blocks)):
             G = np.asarray(_gram_pair(blocks[a], blocks[b], chunk,
-                                      _build_mode()))
+                                      gram_impl))
             inner[offs[a]:offs[a] + G.shape[0],
                   offs[b]:offs[b] + G.shape[1]] = G
             if b != a:

@@ -73,13 +73,18 @@ def test_whiten_colblock_parity(factor_problem):
         assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
 
 
-def test_build_mode_default_cpu(monkeypatch):
-    # on CPU backends the native f64 GEMM beats digit passes — 'auto'
-    # must resolve to f64 (tests run under JAX_PLATFORMS=cpu)
+def test_build_mode_selection(monkeypatch):
+    # 'auto' = f64 for the monolithic build (ozaki measured 10x SLOWER at
+    # deep contractions — see the engine-selection note), but the huge-n
+    # colblock Gram flips to ozaki where the depth-capped f64 accumulation
+    # approaches the 0.1*lam guard (measured 1.46e-11 bias at n = 504k)
     monkeypatch.setattr(pc, "_BUILD_GEMM_MODE", None)
     monkeypatch.delenv("MLFF_BUILD_GEMM", raising=False)
     assert pc._build_mode() == "f64"
+    assert pc._gram_impl_for(158_004) == "f64"
+    assert pc._gram_impl_for(503_982) == "ozaki"
     monkeypatch.setattr(pc, "_BUILD_GEMM_MODE", None)
     monkeypatch.setenv("MLFF_BUILD_GEMM", "ozaki")
     assert pc._build_mode() == "ozaki"
+    assert pc._gram_impl_for(1_000) == "ozaki"
     monkeypatch.setattr(pc, "_BUILD_GEMM_MODE", None)
