@@ -98,6 +98,7 @@ def make_dataset(
     n_modes: int = 4,
     jitter: float = 0.005,
     geometry: str = "cluster",
+    correlation: float = 0.0,
 ) -> dict:
     """Generate a synthetic dataset dict in the reference npz schema.
 
@@ -105,6 +106,18 @@ def make_dataset(
     ``jitter`` of full-dimensional noise), mimicking thermal MD trajectories
     that live on a low-dimensional manifold — i.i.d. per-coordinate noise
     would make the regression problem hopeless at realistic training sizes.
+
+    ``correlation``: AR(1)/Ornstein-Uhlenbeck autocorrelation of the mode
+    coefficients along the sample axis (0 = i.i.d. draws, the default).
+    Real MD datasets are TRAJECTORIES: consecutive snapshots traverse the
+    mode manifold slowly, so a small training draw sees a quasi-1D path —
+    far more kernel-redundant than the same number of i.i.d. points in a
+    21-dimensional mode ball.  At the nanotube's archived operating points
+    (n_train = 14-455, A = 370) this sampling-geometry difference is the
+    round-4 structural residual: every i.i.d. difficulty axis left
+    iteration counts >= 2.2x the archived curves.  The AR(1) process keeps
+    the stationary marginal N(0, 1), so ``temperature`` retains its
+    meaning; only the path geometry changes.
 
     Difficulty calibration: the kernel systems these defaults produce are
     considerably better conditioned than the real MD17 sets (CG at the
@@ -127,7 +140,16 @@ def make_dataset(
 
     modes = rng.normal(size=(n_modes, n_atoms, 3))
     modes /= np.linalg.norm(modes.reshape(n_modes, -1), axis=1)[:, None, None]
-    coeff = rng.normal(size=(n_samples, n_modes)) * np.sqrt(temperature * 3 * n_atoms / n_modes)
+    white = rng.normal(size=(n_samples, n_modes))
+    if correlation > 0.0:
+        rho = float(correlation)
+        innov = np.sqrt(1.0 - rho * rho)
+        c = np.empty_like(white)
+        c[0] = white[0]
+        for t_ in range(1, n_samples):
+            c[t_] = rho * c[t_ - 1] + innov * white[t_]
+        white = c
+    coeff = white * np.sqrt(temperature * 3 * n_atoms / n_modes)
     disp = np.einsum("sm,max->sax", coeff, modes)
     R = base[None] + disp + rng.normal(size=(n_samples, n_atoms, 3)) * jitter
     E, F = _morse_energy_forces(R, d0, De=5.0, a=1.2)

@@ -391,3 +391,27 @@ def test_seed_compile_cache_tarball(tmp_path):
         "jit_f-0-cache", "jit_f-1-cache", "jit_f-2-cache"]
     # idempotent
     assert seed_compile_cache(str(active), str(tmp_path / "seed")) == 0
+
+
+def test_correlated_trajectory_sampling():
+    """AR(1) mode coefficients (round 5): marginal variance preserved,
+    lag-1 autocorrelation ~rho — the MD-trajectory sampling geometry the
+    i.i.d. generator lacks (nanotube calibration, RESULTS.md)."""
+    import numpy as np
+
+    from mlff_tpu.data.synthetic import make_dataset
+
+    kw = dict(n_samples=400, seed=3, temperature=0.02, n_modes=21,
+              geometry="tube")
+    d_iid = make_dataset("nanotube", correlation=0.0, **kw)
+    d_cor = make_dataset("nanotube", correlation=0.97, **kw)
+    for d, lo, hi in [(d_iid, -0.2, 0.2), (d_cor, 0.9, 1.0)]:
+        R = d["R"].reshape(400, -1)
+        disp = R - R.mean(0)
+        lag1 = (np.mean(np.sum(disp[1:] * disp[:-1], 1))
+                / np.mean(np.sum(disp ** 2, 1)))
+        assert lo < lag1 < hi
+    # marginal spread stays at the temperature's scale
+    v_iid = (d_iid["R"] - d_iid["R"].mean(0)).var()
+    v_cor = (d_cor["R"] - d_cor["R"].mean(0)).var()
+    assert 0.5 * v_iid < v_cor < 1.5 * v_iid
