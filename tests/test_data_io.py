@@ -415,3 +415,43 @@ def test_correlated_trajectory_sampling():
     v_iid = (d_iid["R"] - d_iid["R"].mean(0)).var()
     v_cor = (d_cor["R"] - d_cor["R"].mean(0)).var()
     assert 0.5 * v_iid < v_cor < 1.5 * v_iid
+
+
+def test_real_data_onramp_fixture(tmp_path):
+    """tools/fetch_real_md17.verify against a synthetic npz fixture: the
+    real-data on-ramp's schema + internal-fingerprint checks (VERDICT r4
+    next 9) — accepts a well-formed file, rejects tampered contents."""
+    import sys
+
+    import numpy as np
+
+    from mlff_tpu.data.synthetic import make_dataset
+    from mlff_tpu.utils.io import save_dataset
+
+    sys.path.insert(0, "/root/repo/tools")
+    from fetch_real_md17 import DATASET_FILES, verify
+
+    ds = make_dataset("ethanol", n_samples=30, seed=2)
+    path = tmp_path / DATASET_FILES["ethanol"]
+    save_dataset(str(path), ds)
+    ok, msg = verify(str(path), "ethanol")
+    assert ok, msg
+
+    # tamper: flip one force component -> stored fingerprint must mismatch
+    bad = dict(ds)
+    bad["F"] = np.array(ds["F"], copy=True)
+    bad["F"][0, 0, 0] += 1.0
+    bad_path = tmp_path / "tampered.npz"
+    save_dataset(str(bad_path), bad)
+    # save_dataset recomputes md5? emulate transport corruption by writing
+    # the ORIGINAL md5 alongside modified arrays
+    with np.load(str(bad_path)) as f:
+        arrs = {k: f[k] for k in f.files}
+    arrs["md5"] = ds["md5"]
+    np.savez_compressed(str(bad_path), **arrs)
+    ok, msg = verify(str(bad_path), "ethanol")
+    assert not ok and "fingerprint" in msg
+
+    # wrong molecule file contents
+    ok, msg = verify(str(path), "aspirin")
+    assert not ok and "atom count" in msg

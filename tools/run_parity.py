@@ -10,8 +10,17 @@ tools/parity_results.json for RESULTS.md / the test log.
 
     python tools/run_parity.py                 # all calibrated molecules
     python tools/run_parity.py aspirin catcher # subset
+    python tools/run_parity.py --real-data ~/mlff_data
+                                # the 5%-band REAL-data protocol: the
+                                # moment the reference npz files exist
+                                # (tools/fetch_real_md17.py), this runs the
+                                # same two archived operating points on the
+                                # real MD17/AIMS training draws with perms
+                                # recovered by the symmetry finder; results
+                                # land under '<mol>@real'
 """
 
+import argparse
 import json
 import os
 import sys
@@ -28,6 +37,14 @@ OUT = os.path.join(os.path.dirname(__file__), "parity_results.json")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("molecules", nargs="*")
+    ap.add_argument("--real-data", default=None, metavar="DIR",
+                    help="directory of reference npz datasets "
+                         "(tools/fetch_real_md17.py naming); use the real "
+                         "data instead of calibrated synthetic")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -36,7 +53,8 @@ def main():
     from mlff_tpu.models.gdml import Trainer
     from mlff_tpu.models.task import create_task
 
-    todo = sys.argv[1:] or [m for m in ARCHIVE_POINTS if m in _BENCH_DIFFICULTY]
+    todo = args.molecules or [m for m in ARCHIVE_POINTS
+                              if m in _BENCH_DIFFICULTY or args.real_data]
     print("backend:", jax.devices(), "molecules:", todo, flush=True)
 
     results = {}
@@ -47,9 +65,31 @@ def main():
     for mol in todo:
         perc, steps, n_arch = archived_curve(mol)
         n_train = ARCHIVE_POINTS[mol]
-        ds, perms = make_benchmark_dataset(mol, n_train + 60)
-        task = create_task(ds, n_train, ds, n_valid=40, sig=10.0,
-                           solver="cg", perms=perms)
+        if args.real_data:
+            from fetch_real_md17 import DATASET_FILES, verify
+
+            path = os.path.join(args.real_data, DATASET_FILES[mol])
+            if not os.path.exists(path):
+                print(f"[{mol}] SKIP: {path} missing "
+                      f"(tools/fetch_real_md17.py)", flush=True)
+                continue
+            ok, msg = verify(path, mol)
+            if not ok:
+                print(f"[{mol}] SKIP: {path} failed verification: {msg}",
+                      flush=True)
+                continue
+            with np.load(path, allow_pickle=False) as f:
+                ds = {k: f[k] for k in f.files}
+            # production path: symmetries RECOVERED from the real data by
+            # the matching engine (models/symmetry.py), like the reference
+            task = create_task(ds, n_train, ds, n_valid=40, sig=10.0,
+                               solver="cg", use_sym=True)
+            perms = np.asarray(task["perms"])
+            mol = f"{mol}@real"
+        else:
+            ds, perms = make_benchmark_dataset(mol, n_train + 60)
+            task = create_task(ds, n_train, ds, n_valid=40, sig=10.0,
+                               solver="cg", perms=perms)
         n = int(np.asarray(task["F_train"]).size)
         assert n == n_arch, (mol, n, n_arch)
         points = []
