@@ -116,7 +116,33 @@ def archived_curve(molecule: str, n_train: int | None = None):
 def measure(molecule: str, settings: dict, p: float, maxiter: int,
             n_train: int | None = None) -> int:
     """Train at break_percentage=p with the molecule's perm group; returns
-    this run's CG iteration count (maxiter-capped)."""
+    this run's CG iteration count (maxiter-capped).
+
+    On TPU each measurement runs in a FRESH SUBPROCESS by default
+    (MLFF_CAL_SUBPROC=0 disables): consecutive large-n probes in one
+    process accumulate buffer fragmentation past the post-d2h per-buffer
+    ceiling (measured: the 75k p2 check at k=7873 RESOURCE_EXHAUSTED
+    right after a successful k=3367 probe), and a fresh process gets the
+    full ~14 GB budget."""
+    if (os.environ.get("MLFF_CAL_SUBPROC", "1" if _PLATFORM == "tpu"
+                       else "0") == "1"
+            and os.environ.get("_MLFF_CAL_CHILD") != "1"):
+        import json as _json
+        import subprocess
+
+        payload = _json.dumps(dict(molecule=molecule, settings=settings,
+                                   p=p, maxiter=maxiter, n_train=n_train))
+        env = dict(os.environ, _MLFF_CAL_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--measure-json", payload],
+            env=env, capture_output=True, text=True, timeout=7200)
+        for line in out.stdout.splitlines():
+            if line.startswith("MEASURE_RESULT "):
+                return int(line.split()[1])
+        raise RuntimeError(
+            f"measure subprocess failed (rc={out.returncode}):\n"
+            f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
     from mlff_tpu.data.synthetic import make_benchmark_dataset
     from mlff_tpu.models.gdml import Trainer
     from mlff_tpu.models.task import create_task
@@ -256,7 +282,16 @@ def main():
                          "0 skips the check — single-point calibration)")
     ap.add_argument("--start", type=json.loads, default=None,
                     help='seed settings, e.g. \'{"temperature": 0.09}\'')
+    ap.add_argument("--measure-json", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.measure_json:
+        # subprocess mode: one measurement, result on stdout
+        spec = json.loads(args.measure_json)
+        iters = measure(spec["molecule"], spec["settings"], spec["p"],
+                        spec["maxiter"], n_train=spec.get("n_train"))
+        print(f"MEASURE_RESULT {iters}", flush=True)
+        return
 
     todo = (["uracil", "toluene", "azobenzene", "aspirin", "catcher",
              "nanotube"] if args.all else [args.molecule])
