@@ -260,8 +260,16 @@ _BENCH_MOLECULES: dict = {
 # make_benchmark_dataset overlays the entry nearest the requested size.
 _BENCH_DIFFICULTY: dict = {
     # calibration runs: tools/calibrate_difficulty.py -> calibration_log.json
-    # (ours vs archived lev_random CG steps at k/n ~= 0.049 / 0.105)
-    "ethanol": dict(n_modes=21, temperature=0.25),        # 386/379, 171/196
+    # (ours vs archived lev_random CG steps at k/n ~= 0.049 / 0.105).
+    # by_n_train: per-scale overlays calibrated against the archived
+    # per-scale curves (rule_of_thumb/n = 75000|157500|500000 sweeps) —
+    # the fixed-manifold generator hardens faster with n than MD17, so T
+    # drifts down with scale (round-5 calibrations, calibration_log.json).
+    "ethanol": dict(n_modes=21, temperature=0.25,         # 386/379, 171/196
+                    by_n_train={
+                        583: {},                          # 15.7k/31.4k base
+                        2777: dict(temperature=0.232),    # 75k: 0.79/0.86
+                    }),
     "uracil": dict(n_modes=33, temperature=0.0840),       # 727/587, 309/291
     "toluene": dict(n_modes=21, temperature=0.0971),      # 1001/1059, 390/512
     "aspirin": dict(n_modes=33, temperature=0.1501,
@@ -316,9 +324,15 @@ def make_benchmark_dataset(name: str, n_samples: int, seed: int = 11,
     by_n = settings.pop("by_n_train", None)
     if by_n:
         # overlay the calibration nearest the caller's n_train (preferred)
-        # or, lacking it, n_samples minus the standard validation margin
+        # or, lacking it, n_samples minus the standard validation margin.
+        # Nearest in LOG distance: the calibrated scales are geometric
+        # (583/2777/5833/18666 for ethanol) and a midpoint like 1166 must
+        # resolve to its verified neighbor (583-base), which a relative-
+        # distance metric mis-picks toward the larger scale.
+        import math
+
         nt_query = n_train if n_train is not None else max(1, n_samples - 60)
-        nearest = min(by_n, key=lambda nt: abs(nt - nt_query) / nt)
+        nearest = min(by_n, key=lambda nt: abs(math.log(nt / nt_query)))
         settings.update(by_n[nearest])
     settings.update(overrides)
     ds = make_dataset(name, n_samples=n_samples, seed=seed,

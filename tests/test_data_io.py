@@ -455,3 +455,29 @@ def test_real_data_onramp_fixture(tmp_path):
     # wrong molecule file contents
     ok, msg = verify(str(path), "aspirin")
     assert not ok and "atom count" in msg
+
+
+def test_by_n_train_log_nearest_selection(monkeypatch):
+    """Per-scale difficulty overlays resolve by LOG-nearest n_train: the
+    verified 31.4k midpoint (n_train=1166) must keep the 583-base
+    settings, while the 75k row picks its own entry."""
+    from mlff_tpu.data import synthetic
+
+    captured = {}
+    real_make = synthetic.make_dataset
+
+    def spy(name, **kw):
+        captured.update(kw)
+        return real_make(name, **kw)
+
+    monkeypatch.setattr(synthetic, "make_dataset", spy)
+
+    def temp_for(n_train):
+        captured.clear()
+        synthetic.make_benchmark_dataset("ethanol", 70, n_train=n_train)
+        return captured["temperature"]
+
+    assert temp_for(583) == 0.25
+    assert temp_for(1166) == 0.25     # log-nearest 583 -> base settings
+    assert temp_for(2777) == 0.232    # 75k per-scale entry
+    assert temp_for(2000) == 0.232    # closer to 2777 in log space
