@@ -39,6 +39,7 @@ hot loop 172-272).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -75,19 +76,23 @@ def slice_digits(X: jnp.ndarray, axis: int, s: int = DIGITS):
     return scale, digits
 
 
-def _seg_matmul(a: jnp.ndarray, b: jnp.ndarray, n_seg: int) -> jnp.ndarray:
+def _seg_matmul(a: jnp.ndarray, b: jnp.ndarray, n_seg: int,
+                acc_dtype=jnp.float64) -> jnp.ndarray:
     """Exact digit-pair product sum: a (n, K) x b (K, m) bf16 integer
-    digits -> f64 (n, m), f32-accumulated per 256-deep segment (exact) and
-    f64-accumulated across segments."""
+    digits -> (n, m), f32-accumulated per 256-deep segment (exact) and
+    ``acc_dtype``-accumulated across segments.  f32 cross-segment
+    accumulation is allowed for LOW-weight digit pairs only (see
+    gemm_presliced): its ~2^-24-relative rounding is scaled by the pair's
+    256^-(w+2) grid weight, landing below the slicing truncation."""
     n, K = a.shape
     m = b.shape[1]
     if n_seg == 1:
         p = jnp.matmul(a, b, preferred_element_type=jnp.float32)
-        return p.astype(jnp.float64)
+        return p if acc_dtype == jnp.float32 else p.astype(acc_dtype)
     a3 = a.reshape(n, n_seg, _SEG).transpose(1, 0, 2)
     b3 = b.reshape(n_seg, _SEG, m)
     p = jnp.matmul(a3, b3, preferred_element_type=jnp.float32)  # (S, n, m)
-    return jnp.sum(p.astype(jnp.float64), axis=0)
+    return jnp.sum(p.astype(acc_dtype), axis=0)
 
 
 def _pad_K(X: jnp.ndarray, axis: int, K_pad: int) -> jnp.ndarray:
@@ -119,16 +124,38 @@ def gemm_presliced(A_sl, B_sl, s: int | None = None) -> jnp.ndarray:
     if K_pad != K:
         dA = [_pad_K(a, 1, K_pad) for a in dA]
         dB = [_pad_K(b, 0, K_pad) for b in dB]
-    acc = None
+    # Weight-split accumulation (round 5): digit pairs on LOW grid weights
+    # accumulate ENTIRELY in f32 — the f32 rounding (~2^-24 relative to
+    # the term) times the term's 256^-(w+2) weight lands below the 2^-8s
+    # slicing truncation — and only the heaviest weight classes pay f64
+    # elementwise adds.  On (N, M)-shaped outputs this removes ~half of
+    # the engine's f64 accumulation work (the measured OTF bottleneck at
+    # n = 504k: 2.1G-element tiles x 28 pair terms of f64 adds/iter).
+    # Threshold s-2 keeps the f32 classes' combined error ~2^-(8s+8)-
+    # grade (a CPU solve at s-3 showed a +5% CG-iteration drift on a
+    # lam-floor system — one class of margin buys that back);
+    # MLFF_OZAKI_F32W widens/narrows for A/B.
+    w_f64 = max(0, s - int(os.environ.get("MLFF_OZAKI_F32W", "2")))
+    acc = None        # f64: exact-grade weight classes w < w_f64
+    acc32 = None      # f32: low-weight classes, one f64 add at the end
     for w in range(s):
-        # all digit pairs on grid 256^-(w+2): their f64 weights are equal,
-        # so sum the pair partials before weighting
+        low = w >= w_f64
         part = None
         for i in range(w + 1):
-            p = _seg_matmul(dA[i], dB[w - i], n_seg)
+            p = _seg_matmul(dA[i], dB[w - i], n_seg,
+                            acc_dtype=jnp.float32 if low else jnp.float64)
             part = p if part is None else part + p
-        term = part * (_RADIX ** -(w + 2))
-        acc = term if acc is None else acc + term
+        if low:
+            # relative weight within the f32 accumulator; the common
+            # 256^-(w_f64+2) factor is applied once at the final f64 add
+            term32 = part * jnp.float32(_RADIX ** -(w - w_f64))
+            acc32 = term32 if acc32 is None else acc32 + term32
+        else:
+            term = part * (_RADIX ** -(w + 2))
+            acc = term if acc is None else acc + term
+    if acc32 is not None:
+        tail = acc32.astype(jnp.float64) * (_RADIX ** -(w_f64 + 2))
+        acc = tail if acc is None else acc + tail
     return sA * acc * sB
 
 
