@@ -133,16 +133,24 @@ def measure(molecule: str, settings: dict, p: float, maxiter: int,
         payload = _json.dumps(dict(molecule=molecule, settings=settings,
                                    p=p, maxiter=maxiter, n_train=n_train))
         env = dict(os.environ, _MLFF_CAL_CHILD="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--measure-json", payload],
-            env=env, capture_output=True, text=True, timeout=7200)
-        for line in out.stdout.splitlines():
-            if line.startswith("MEASURE_RESULT "):
-                return int(line.split()[1])
+        last = None
+        for attempt in range(2):  # one retry: the shared tunnel's worker
+            #                       occasionally crashes mid-probe
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--measure-json", payload],
+                env=env, capture_output=True, text=True, timeout=7200)
+            for line in out.stdout.splitlines():
+                if line.startswith("MEASURE_RESULT "):
+                    return int(line.split()[1])
+            last = out
+            print(f"  [measure subprocess attempt {attempt} failed "
+                  f"(rc={out.returncode}); "
+                  f"{'retrying' if attempt == 0 else 'giving up'}]",
+                  flush=True)
         raise RuntimeError(
-            f"measure subprocess failed (rc={out.returncode}):\n"
-            f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+            f"measure subprocess failed (rc={last.returncode}):\n"
+            f"{last.stdout[-2000:]}\n{last.stderr[-2000:]}")
     from mlff_tpu.data.synthetic import make_benchmark_dataset
     from mlff_tpu.models.gdml import Trainer
     from mlff_tpu.models.task import create_task
