@@ -519,14 +519,17 @@ class OzakiMatvecState(NamedTuple):
 # 6-digit OTF path measured 1.3e-10 vs f64 — enough to stall CG in the
 # 1/lam-amplified preconditioner subspace (round 4, n = 503,982: residual
 # oscillated at 6-9x ||b|| for 60 iterations with no net descent).  The
-# OTF DEFAULT is therefore the validated huge-n configuration: s = 7
-# digits (divides the slicing truncation by 256; ground truth vs the CPU
-# IEEE-f64 oracle at n = 503,982: 3.54e-13) and a true-f64 distance Gram
-# (the exp-weight amplifier; its contraction is only D-deep, so the
-# emulation cost is a small fraction of the tile).  MLFF_OZAKI_DIGITS /
-# MLFF_OZAKI_DIST64 override (e.g. =6 / =0 to measure the cheap config).
+# OTF DEFAULT is therefore s = 7 digits (divides the slicing truncation
+# by 256; ground truth vs the CPU IEEE-f64 oracle at n = 503,982:
+# 3.54e-13).  The distance Gram stays on the EXACT-SLICE path (2^-56 at
+# s = 7): the MLFF_OZAKI_DIST64=1 emulated-f64 alternative measurably
+# adds nothing (round 4: every knob left |oz - f64| unchanged to six
+# digits) and its in-loop emulated-f64 GEMM is the same op class that
+# hard-crashes the tunnel TPU worker inside the CG loop (reproduced
+# twice at n = 157,491 in round 5; the f64 OTF matvec crashes the same
+# way at 504k) — default OFF.
 _OZ_DIGITS = int(os.environ.get("MLFF_OZAKI_DIGITS", "7"))
-_OZ_DIST64 = os.environ.get("MLFF_OZAKI_DIST64", "1") == "1"
+_OZ_DIST64 = os.environ.get("MLFF_OZAKI_DIST64", "0") == "1"
 
 
 def ozaki_matvec_state(cache: KernelCache) -> OzakiMatvecState:
