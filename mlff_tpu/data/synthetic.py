@@ -269,6 +269,12 @@ _BENCH_DIFFICULTY: dict = {
                     by_n_train={
                         583: {},                          # 15.7k/31.4k base
                         2777: dict(temperature=0.232),    # 75k: 0.79/0.86
+                        5833: dict(temperature=0.188),    # 157.5k (r5 cal)
+                        # 504k: extrapolated from the (583, 2777, 5833)
+                        # ln T-vs-ln n trend (slope steepens with scale);
+                        # validated by the capped decay probe before the
+                        # full run (tools/run_500k.py)
+                        18666: dict(temperature=0.108),
                     }),
     "uracil": dict(n_modes=33, temperature=0.0840),       # 727/587, 309/291
     "toluene": dict(n_modes=21, temperature=0.0971),      # 1001/1059, 390/512
