@@ -279,9 +279,21 @@ _BENCH_DIFFICULTY: dict = {
     "uracil": dict(n_modes=33, temperature=0.0840),       # 727/587, 309/291
     "toluene": dict(n_modes=21, temperature=0.0971),      # 1001/1059, 390/512
     "aspirin": dict(n_modes=33, temperature=0.1501,
-                    jitter=0.0025),                       # 4226/5732, 1826/1584
+                    jitter=0.0025,                        # 4226/5732, 1826/1584
+                    by_n_train={
+                        250: {},                          # 15.7k/31.4k base
+                        # 157.5k: seeded from ethanol's per-scale T ratio
+                        # (0.188/0.25), verified by the honest-row run
+                        2500: dict(temperature=0.113),
+                    }),
     "azobenzene": dict(n_modes=21, temperature=0.0377),   # 1437/1312, 525/642
-    "catcher": dict(n_modes=21, temperature=0.25),        # 6338/7980, 3576/3512
+    "catcher": dict(n_modes=21, temperature=0.25,         # 6338/7980, 3576/3512
+                    by_n_train={
+                        60: {},                           # 15.7k base
+                        # 31.4k: closes the round-4 1.31x calibration-band
+                        # miss at the archived k/n=0.0589 point
+                        119: dict(temperature=0.234),
+                    }),
 }
 
 
