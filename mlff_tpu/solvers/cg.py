@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -212,7 +213,7 @@ def _pcg_drive(
     chunk: int = 25,
     callback: Callable | None = None,
     checkpoint_callback: Callable | None = None,
-    checkpoint_every_s: float = 120.0,
+    checkpoint_every_s: float | None = None,
     it0: int = 0,
     break_on_stagnation: bool = False,
     exact_matvec: Callable | None = None,
@@ -236,6 +237,14 @@ def _pcg_drive(
     per replacement — a few percent of the loop.
     """
     n = b.shape[0]
+    if checkpoint_every_s is None:
+        # Default 120 s mirrors the reference's snapshot cadence — but on
+        # the axon tunnel each snapshot's d2h WAITS FOR DEVICE IDLE
+        # (measured 67-253 s when CG chunks are in flight; round-5 504k
+        # run: ~150 s stall every ~2 min, tripling effective s/iter).
+        # MLFF_CKPT_EVERY_S raises the cadence for long tunnel runs.
+        checkpoint_every_s = float(os.environ.get("MLFF_CKPT_EVERY_S",
+                                                  "120"))
     if maxiter is None:
         maxiter = 10 * n
 
