@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--matvec", default="ozaki")
     ap.add_argument("--ckpt", default="/tmp/eth500k_ckpt.npz")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-replacement", action="store_true",
+                    help="round-4 A/B config; known to fake convergence")
     args = ap.parse_args()
 
     # leave transient headroom for the resident colblock factor (the
@@ -82,10 +84,18 @@ def main():
         # monolithic whiten transients blow TOTAL HBM past k~1024 at this
         # n (17.3 GB needed at k=1536); force column blocks
         task["nystrom_block_cols"] = 768
-    # the f64 OTF matvec crashes the TPU worker inside the CG chunk at
-    # this scale — no in-loop residual replacement; the true f64 residual
-    # is verified with ONE standalone dispatch after the solve
-    task["residual_replacement"] = False
+    # RESIDUAL REPLACEMENT MUST STAY ON (round-5 measured failure): with
+    # it disabled, the recursive residual drifts from truth through the
+    # 1/lam-amplified apply and "converges" while the TRUE f64 residual
+    # sits at 92x ||b|| (943-iteration run, 2026-08-21).  The f64
+    # replacement matvec is dispatched HOST-SIDE between CG chunks — the
+    # op class that crashes the worker is the f64 matvec inside the
+    # compiled chunk, not this standalone dispatch (the same dispatch ran
+    # fine as the post-solve verifier in rounds 4-5, and the 158k honest
+    # row ran ~17 replacements without incident).  --no-replacement
+    # reproduces the round-4 configuration for A/B only.
+    if args.no_replacement:
+        task["residual_replacement"] = False
     if args.maxiter or args.probe:
         task["solver_maxiter"] = args.maxiter or 20
     n = int(np.asarray(task["F_train"]).size)
