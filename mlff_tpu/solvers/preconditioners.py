@@ -84,10 +84,13 @@ _BUILD_GEMM_MODE: str | None = None
 # (the guard still runs and falls back to a host Gram on violation).
 _BUILD_DIGITS = int(os.environ.get("MLFF_BUILD_DIGITS", "7"))
 # above this row count the depth-capped f64 Gram's accumulated bias
-# approaches 0.1*lam (measured 1.46e-11 at n = 503,982) — switch the
-# colblock Gram to exact-slice digits before the guard has to fire
+# approaches 0.1*lam — switch the Gram to exact-slice digits before the
+# guard has to fire.  Measured: n = 74,979 passes the guard; n = 157,500
+# FAILS it (4.09e-11, aspirin k = 4096 — a 59 s + a ~3 min host-fallback
+# per factor); n = 503,982 fails at 1.46e-11.  120k splits the measured
+# pass/fail points.
 _OZAKI_GRAM_MIN_ROWS = int(float(os.environ.get("MLFF_OZAKI_GRAM_MIN_ROWS",
-                                                "300000")))
+                                                "120000")))
 
 
 def _build_mode() -> str:
@@ -743,7 +746,7 @@ def woodbury_from_factor(L: jnp.ndarray, lam: float) -> WoodburySplitPreconditio
     chunk = min(n, _GEMM_ROW_CHUNK)
     tril = jnp.asarray(np.tril_indices(k))
     inner = _unpack_sym(
-        np.asarray(_gram_nm_tril(L, tril, chunk, _build_mode())),
+        np.asarray(_gram_nm_tril(L, tril, chunk, _gram_impl_for(n))),
         k)                                                 # d2h k(k+1)/2
     W2 = jnp.asarray(_host_inner_isqrt(inner, lam, "chol"))
     B, W2 = _pad_split(L, W2)
@@ -976,10 +979,11 @@ def _nystrom_factor_split(
     # fused whiten+Gram: one pass, no full-factor relayout copy or hoisted
     # X64Split (a standalone Gram compile-OOMed at n=500k — see the
     # _whiten_gram_nm_tril docstring)
+    gram_impl = _gram_impl_for(n)
     B_t, inner_packed = _whiten_gram_nm_tril(K_nm, W1, tril, chunk,
-                                             _build_mode())
+                                             _build_mode(), gram_impl)
     inner_packed.block_until_ready()
-    t.mark(f"whiten+gram[{_build_mode()}]")
+    t.mark(f"whiten+gram[{_build_mode()}/{gram_impl}]")
     inner = _unpack_sym(np.asarray(inner_packed), m)       # d2h m(m+1)/2
     t.mark("d2h_inner")
     # GUARD (load-bearing, see the self-consistency note above): inner must
@@ -1410,9 +1414,10 @@ def _whiten_nm(K_nm: jnp.ndarray, W1: jnp.ndarray, chunk: int):
     return B
 
 
-@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
 def _whiten_gram_nm_tril(K_nm: jnp.ndarray, W1: jnp.ndarray,
-                         tril: jnp.ndarray, chunk: int, impl: str = "f64"):
+                         tril: jnp.ndarray, chunk: int, impl: str = "f64",
+                         gram_impl: str | None = None):
     """Fused in-place whiten + Gram: B = K_nm W1 (K_nm donated) AND
     inner = B^T B, packed lower triangle — in ONE pass over the rows.
 
@@ -1437,6 +1442,7 @@ def _whiten_gram_nm_tril(K_nm: jnp.ndarray, W1: jnp.ndarray,
     n, m = K_nm.shape
     n_full = (n // chunk) * chunk
     s = _BUILD_DIGITS
+    gram_impl = impl if gram_impl is None else gram_impl
     W1_sl = ozaki.slice_digits(W1, axis=0, s=s) if impl == "ozaki" else None
 
     def transform(blk):
@@ -1446,7 +1452,7 @@ def _whiten_gram_nm_tril(K_nm: jnp.ndarray, W1: jnp.ndarray,
         return jnp.matmul(blk, W1, precision=_HP)
 
     def gacc(acc, tr):
-        if impl == "ozaki":
+        if gram_impl == "ozaki":
             return _gram_acc_ozaki(acc, tr, s)
         return _gram_acc_safe(acc, tr)
 

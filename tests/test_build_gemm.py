@@ -81,8 +81,9 @@ def test_build_mode_selection(monkeypatch):
     monkeypatch.setattr(pc, "_BUILD_GEMM_MODE", None)
     monkeypatch.delenv("MLFF_BUILD_GEMM", raising=False)
     assert pc._build_mode() == "f64"
-    assert pc._gram_impl_for(158_004) == "f64"
-    assert pc._gram_impl_for(503_982) == "ozaki"
+    assert pc._gram_impl_for(74_979) == "f64"    # passes the lam guard
+    assert pc._gram_impl_for(158_004) == "ozaki"  # fails it (4.09e-11)
+    assert pc._gram_impl_for(503_982) == "ozaki"  # fails it (1.46e-11)
     monkeypatch.setattr(pc, "_BUILD_GEMM_MODE", None)
     monkeypatch.setenv("MLFF_BUILD_GEMM", "ozaki")
     assert pc._build_mode() == "ozaki"
