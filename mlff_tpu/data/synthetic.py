@@ -282,8 +282,11 @@ _BENCH_DIFFICULTY: dict = {
                     jitter=0.0025,                        # 4226/5732, 1826/1584
                     by_n_train={
                         250: {},                          # 15.7k/31.4k base
-                        # 157.5k: seeded from ethanol's per-scale T ratio
-                        # (0.188/0.25), verified by the honest-row run
+                        # 157.5k: UNVERIFIED — the ethanol-ratio seed
+                        # (0.1501 x 0.188/0.25) still plateaued at 3,600
+                        # capped iterations (2026-08-21); aspirin's
+                        # difficulty-vs-scale curve is steeper than
+                        # ethanol's and needs its own T search
                         2500: dict(temperature=0.113),
                     }),
     "azobenzene": dict(n_modes=21, temperature=0.0377),   # 1437/1312, 525/642
