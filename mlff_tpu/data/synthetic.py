@@ -290,13 +290,11 @@ _BENCH_DIFFICULTY: dict = {
                         2500: dict(temperature=0.113),
                     }),
     "azobenzene": dict(n_modes=21, temperature=0.0377),   # 1437/1312, 525/642
-    "catcher": dict(n_modes=21, temperature=0.25,         # 6338/7980, 3576/3512
-                    by_n_train={
-                        60: {},                           # 15.7k base
-                        # 31.4k: closes the round-4 1.31x calibration-band
-                        # miss at the archived k/n=0.0589 point
-                        119: dict(temperature=0.234),
-                    }),
+    # catcher@119 probe (round 5): T=0.234 measured ratio 2.10 at the
+    # archived k/n=0.0589 point — WORSE than base T=0.25's 1.31 (the T
+    # response is non-monotone or subset-draw noise dominates at this
+    # scale); the base entry stands, no by_n_train overlay.
+    "catcher": dict(n_modes=21, temperature=0.25),        # 6338/7980, 3576/3512
 }
 
 

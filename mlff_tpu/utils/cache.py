@@ -131,7 +131,9 @@ def seed_compile_cache(cache_dir: str, seed_dir: str | None = None) -> int:
                         with open(dst, "wb") as out:
                             out.write(src.read())
                         seeded += 1
-            except (OSError, tarfile.TarError):  # pragma: no cover
+            except (OSError, EOFError, tarfile.TarError):  # pragma: no cover
+                # EOFError: gzip raises it (not OSError) on a truncated
+                # tarball — a corrupt seed must never break package import
                 return seeded
             if seeded:
                 log.info("compile cache seeded: %d entries from %s",
