@@ -282,17 +282,18 @@ _BENCH_DIFFICULTY: dict = {
                     jitter=0.0025,                        # 4226/5732, 1826/1584
                     by_n_train={
                         250: {},                          # 15.7k/31.4k base
-                        # 157.5k: UNCALIBRATED after two measured
-                        # negatives (2026-08-21): T=0.113 (ethanol-ratio
-                        # seed) plateaued at 3,600 capped iters; T=0.085
-                        # still decayed ~5e-4/iter at it=3,400 (projected
-                        # ~4.5x the archived 3,902).  The T axis alone
-                        # does not reach aspirin's archived tail at this
-                        # scale — the flat-tail lever is jitter (0.0025
-                        # at base), untested here; next step is a joint
-                        # (T, jitter) search.  Entry kept at the closest
+                        # 157.5k: UNCALIBRATED after THREE measured
+                        # negatives (2026-08-21, k=4096 vs the archived
+                        # 3,902-step row): T=0.113 plateaued at 3,600
+                        # capped iters; T=0.085 decayed ~5e-4/iter at
+                        # it=3,400 (~4.5x projection); T=0.113 with
+                        # jitter=0.001 plateaued at ~0.95 ||b|| by
+                        # it=1,500 — neither the T nor the jitter axis
+                        # alone reaches aspirin's archived tail at this
+                        # scale (same structural class as the nanotube
+                        # negative, milder).  Entry kept at the closest
                         # attempt so large-n runs are not silently easy.
-                        2500: dict(temperature=0.085),
+                        2500: dict(temperature=0.113, jitter=0.001),
                     }),
     "azobenzene": dict(n_modes=21, temperature=0.0377),   # 1437/1312, 525/642
     # catcher@119 probes (round 5): T=0.234 -> ratio 2.10 and
